@@ -1,0 +1,209 @@
+"""Custom ResNet-18-style CNN backbone in Flax, NHWC, BatchNorm batch_stats.
+
+TPU-native re-design of the reference backbone
+(reference: models/cnn_backbone.py:41-493): identical topology —
+stem (7×7/2 conv + BN + ReLU + 3×3/2 maxpool) → 4 stages of [2,2,2,2]
+residual blocks with channels 64→128→256→512, SE attention in every stage,
+spatial attention only in stages 3-4 — but laid out channels-last so every
+conv maps directly onto the MXU's native tiling and XLA fuses the
+BN+ReLU+attention epilogues.
+
+Output: [B, 7, 7, 512] feature map (the reference's [B, 512, 7, 7],
+transposed to NHWC) — spatial structure preserved for cross-attention,
+no global pooling.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vqa_tpu.models.attention_modules import (
+    AttentionWrapper,
+    kaiming_normal_fan_out,
+)
+
+# torch BatchNorm2d defaults: eps=1e-5, running-stat momentum 0.1
+# (flax momentum = keep-fraction of the old stat = 1 - 0.1).
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+
+def _conv(features: int, kernel: int, stride: int, pad: int, name: str, dtype):
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        use_bias=False,
+        kernel_init=kaiming_normal_fan_out,
+        dtype=dtype,
+        name=name,
+    )
+
+
+def _bn(name: str, dtype, train: bool):
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=BN_MOMENTUM,
+        epsilon=BN_EPS,
+        dtype=dtype,
+        name=name,
+    )
+
+
+class ConvBlock(nn.Module):
+    """Conv → BN → ReLU helper (reference: models/cnn_backbone.py:41-98;
+    defined but unused in the main path there — kept for API completeness)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = _conv(self.features, self.kernel_size, self.stride, self.padding,
+                  "conv", self.dtype)(x)
+        x = _bn("bn", self.dtype, train)(x)
+        return nn.relu(x)
+
+
+class ResidualBlock(nn.Module):
+    """3×3 conv→BN→ReLU→3×3 conv→BN (+1×1 conv+BN shortcut on shape change),
+    add, ReLU (reference: models/cnn_backbone.py:101-197)."""
+
+    in_channels: int
+    out_channels: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        identity = x
+        out = _conv(self.out_channels, 3, self.stride, 1, "conv1", self.dtype)(x)
+        out = _bn("bn1", self.dtype, train)(out)
+        out = nn.relu(out)
+        out = _conv(self.out_channels, 3, 1, 1, "conv2", self.dtype)(out)
+        out = _bn("bn2", self.dtype, train)(out)
+
+        if self.stride != 1 or self.in_channels != self.out_channels:
+            identity = _conv(self.out_channels, 1, self.stride, 0,
+                             "down_conv", self.dtype)(x)
+            identity = _bn("down_bn", self.dtype, train)(identity)
+
+        return nn.relu(out + identity)
+
+
+class ResidualStage(nn.Module):
+    """N residual blocks (first may stride-2) followed by the attention
+    wrapper (reference: models/cnn_backbone.py:200-279)."""
+
+    in_channels: int
+    out_channels: int
+    num_blocks: int = 2
+    stride: int = 1
+    use_se: bool = True
+    use_spatial: bool = True
+    se_reduction: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = ResidualBlock(
+            self.in_channels, self.out_channels, self.stride,
+            self.dtype, name="block0",
+        )(x, train)
+        for i in range(1, self.num_blocks):
+            x = ResidualBlock(
+                self.out_channels, self.out_channels, 1,
+                self.dtype, name=f"block{i}",
+            )(x, train)
+        x = AttentionWrapper(
+            self.out_channels,
+            use_se=self.use_se,
+            use_spatial=self.use_spatial,
+            se_reduction=self.se_reduction,
+            dtype=self.dtype,
+            name="attention",
+        )(x)
+        return x
+
+
+class CustomResNet(nn.Module):
+    """From-scratch ResNet-style backbone with SE + spatial attention
+    (reference: models/cnn_backbone.py:282-493).
+
+    Shape tracking (NHWC):
+        input   [B, 224, 224, 3]
+        stem    [B, 56, 56, 64]
+        stage1  [B, 56, 56, 64]
+        stage2  [B, 28, 28, 128]
+        stage3  [B, 14, 14, 256]
+        stage4  [B, 7, 7, 512]
+    """
+
+    in_channels: int = 3
+    base_channels: int = 64
+    num_blocks: Tuple[int, int, int, int] = (2, 2, 2, 2)
+    use_se: bool = True
+    use_spatial: bool = True
+    se_reduction: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def output_channels(self) -> int:
+        return self.base_channels * 8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c = [self.base_channels * m for m in (1, 2, 4, 8)]
+
+        # Stem: 7×7/2 conv + BN + ReLU + 3×3/2 maxpool
+        x = _conv(c[0], 7, 2, 3, "stem_conv", self.dtype)(x)
+        x = _bn("stem_bn", self.dtype, train)(x)
+        x = nn.relu(x)
+        # torch MaxPool2d(3, stride=2, padding=1) pads with -inf semantics;
+        # flax max_pool pads with -inf as well.
+        x = nn.max_pool(
+            x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+        )
+
+        # spatial attention only in stages 3-4 (reference:
+        # models/cnn_backbone.py:366,381,394,409)
+        stage_specs = [
+            (c[0], c[0], 1, False),
+            (c[0], c[1], 2, False),
+            (c[1], c[2], 2, self.use_spatial),
+            (c[2], c[3], 2, self.use_spatial),
+        ]
+        for i, (cin, cout, stride, spatial) in enumerate(stage_specs, start=1):
+            x = ResidualStage(
+                cin,
+                cout,
+                num_blocks=self.num_blocks[i - 1],
+                stride=stride,
+                use_se=self.use_se,
+                use_spatial=spatial,
+                se_reduction=self.se_reduction,
+                dtype=self.dtype,
+                name=f"stage{i}",
+            )(x, train)
+        return x
+
+
+def create_cnn_backbone(
+    use_attention: bool = True,
+    se_reduction: int = 16,
+    dtype: jnp.dtype = jnp.float32,
+) -> CustomResNet:
+    """Factory (reference: models/cnn_backbone.py:475-493)."""
+    return CustomResNet(
+        use_se=use_attention,
+        use_spatial=use_attention,
+        se_reduction=se_reduction,
+        dtype=dtype,
+    )

@@ -1,0 +1,126 @@
+"""Benchmark: batched VQA inference throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "pairs_per_sec_per_chip", "value": N, "unit": "pairs/s",
+   "vs_baseline": N / 14.8, ...extras}
+
+Baseline: the PyTorch reference measured on this container's CPU at
+14.8 pairs/s (b=32, its best configuration — SURVEY.md §6). BASELINE.json
+north star: ≥10× that, with <1e-3 logit fidelity (tests/test_parity.py).
+
+The benched program is the production inference path: uint8 pixels →
+on-device normalize → full VQA forward (bf16 compute on TPU) → logits,
+one XLA program, donated input buffers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true", help="fewer timed iters")
+    p.add_argument("--batches", type=int, nargs="*", default=None)
+    p.add_argument("--f32", action="store_true", help="disable bf16 compute")
+    args = p.parse_args()
+
+    from vqa_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vqa_tpu.data.preprocess import device_normalize
+    from vqa_tpu.models import create_vqa_model, init_vqa_model
+
+    backend = jax.default_backend()
+    on_tpu = backend != "cpu"
+    dtype = jnp.bfloat16 if (on_tpu and not args.f32) else jnp.float32
+
+    model = create_vqa_model(dtype=dtype)  # full-size flagship
+    variables = init_vqa_model(model, jax.random.PRNGKey(0))
+
+    @jax.jit
+    def infer(variables, pixels_u8, token_ids, attention_mask):
+        images = device_normalize(pixels_u8).astype(dtype)
+        logits, _ = model.apply(
+            variables, images, token_ids, attention_mask, train=False
+        )
+        return logits
+
+    rng = np.random.default_rng(0)
+    batch_sizes = args.batches or ([32, 128] if args.quick else [1, 8, 32, 128, 256, 512])
+    warmup = 2 if args.quick else 3
+    chain = 5 if args.quick else 20  # pipelined dispatches between fetches
+    reps = 2 if args.quick else 3
+
+    results = {}
+    latency = {}
+    best_throughput, best_batch = 0.0, 0
+    for b in batch_sizes:
+        # rotate distinct input buffers so no layer of the stack can reuse
+        # a previous execution's result
+        inputs = []
+        for _ in range(2):
+            inputs.append((
+                jnp.asarray(rng.integers(0, 256, size=(b, 224, 224, 3),
+                                         dtype=np.uint8)),
+                jnp.asarray(rng.integers(4, 10000, size=(b, 20)), jnp.int32),
+                jnp.ones((b, 20), jnp.int32),
+            ))
+        for i in range(warmup):
+            px, ids, mask = inputs[i % 2]
+            jax.block_until_ready(infer(variables, px, ids, mask))
+
+        # sustained throughput: chain dispatches, fetch once at the end —
+        # measures device time, not host↔device round-trips
+        best = 0.0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = None
+            for i in range(chain):
+                px, ids, mask = inputs[i % 2]
+                out = infer(variables, px, ids, mask)
+            jax.block_until_ready(out)
+            _ = float(out[0, 0])  # force real completion through the tunnel
+            dt = time.perf_counter() - t0
+            best = max(best, b * chain / dt)
+        results[f"b{b}"] = round(best, 2)
+
+        # per-call latency: block every call (includes host↔TPU link RTT)
+        times = []
+        for i in range(max(chain, 5)):
+            px, ids, mask = inputs[i % 2]
+            t0 = time.perf_counter()
+            jax.block_until_ready(infer(variables, px, ids, mask))
+            times.append(time.perf_counter() - t0)
+        latency[f"b{b}"] = round(float(np.median(times)) * 1000, 3)
+
+        if best > best_throughput:
+            best_throughput, best_batch = best, b
+    p50_b1 = latency.get("b1")
+
+    baseline = 14.8  # CPU torch reference, b=32 (SURVEY.md §6)
+    line = {
+        "metric": "pairs_per_sec_per_chip",
+        "value": round(best_throughput, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(best_throughput / baseline, 2),
+        "best_batch": best_batch,
+        "backend": backend,
+        "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+        "throughput_by_batch": results,
+    }
+    if p50_b1 is not None:
+        line["p50_latency_b1_ms"] = round(p50_b1, 3)
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,14 +1,18 @@
-"""Test configuration: force CPU with 8 virtual devices so multi-chip
-sharding is testable without TPU hardware (SURVEY.md §4 test plan)."""
+"""Test configuration: force an 8-virtual-device CPU platform so multi-chip
+sharding is testable without TPU hardware (SURVEY.md §4 test plan).
 
-import os
+NOTE: this host exposes the real TPU through the 'axon' PJRT plugin, which
+ignores the JAX_PLATFORMS env var — the config API must be used instead.
+"""
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+# Parity mode: DEFAULT matmul/conv precision uses reduced-precision passes;
+# numerics tests need full f32 (SURVEY.md §7 dual dtype policy).
+jax.config.update("jax_default_matmul_precision", "highest")
 
 from vqa_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 

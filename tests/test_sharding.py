@@ -1,0 +1,144 @@
+"""Multi-chip parallelism tests on the 8-device virtual CPU mesh
+(SURVEY.md §4 item (e)): DP batch sharding, TP param sharding, and a full
+dp+tp train step compiling and executing with collectives."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from vqa_tpu.data.pipeline import prefetch_to_device
+from vqa_tpu.models import create_vqa_model, init_vqa_model
+from vqa_tpu.parallel.mesh import (
+    create_mesh,
+    data_sharding,
+    param_spec,
+    shard_variables,
+    variables_shardings,
+)
+
+TINY = dict(
+    vocab_size=64,
+    num_answers=16,
+    embed_dim=16,
+    num_transformer_layers=1,
+    num_attention_heads=2,
+    ffn_hidden_dim=32,
+    max_question_length=6,
+    image_size=32,
+    base_channels=8,
+    stage_channels=(8, 16, 32, 64),
+    feature_spatial_size=1,
+)
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() == 8
+
+
+def test_create_mesh_shapes():
+    m = create_mesh()  # all data
+    assert m.shape == {"data": 8, "model": 1}
+    m2 = create_mesh(data_parallel=4, model_parallel=2)
+    assert m2.shape == {"data": 4, "model": 2}
+
+
+def test_param_spec_rules():
+    assert param_spec("params/text_encoder/layer0/self_attention/W_q/kernel") == P(None, "model")
+    assert param_spec("params/text_encoder/layer0/self_attention/W_o/kernel") == P("model", None)
+    assert param_spec("params/text_encoder/layer0/ffn/fc1/kernel") == P(None, "model")
+    assert param_spec("params/answer_head/fc2/kernel") == P("model", None)
+    assert param_spec("params/image_encoder/stem_conv/kernel") == P()
+    assert param_spec("params/text_encoder/token_embedding/embedding") == P("model", None)
+
+
+def test_dp_forward_matches_single_device():
+    """Same logits whether the batch is sharded over 8 devices or not."""
+    mesh = create_mesh(data_parallel=8)
+    model = create_vqa_model(**TINY)
+    variables = init_vqa_model(model, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(16, 32, 32, 3)).astype(np.float32)
+    ids = rng.integers(4, 64, size=(16, 6)).astype(np.int32)
+    mask = np.ones((16, 6), np.int32)
+
+    @jax.jit
+    def fwd(v, im, i, m):
+        return model.apply(v, im, i, m, train=False)[0]
+
+    base = fwd(variables, images, ids, mask)
+
+    v_sh = shard_variables(variables, mesh)
+    im_sh = jax.device_put(jnp.asarray(images), data_sharding(mesh))
+    ids_sh = jax.device_put(jnp.asarray(ids), data_sharding(mesh))
+    mask_sh = jax.device_put(jnp.asarray(mask), data_sharding(mesh))
+    out = fwd(v_sh, im_sh, ids_sh, mask_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_tp_param_sharding_applies():
+    mesh = create_mesh(data_parallel=4, model_parallel=2)
+    model = create_vqa_model(**TINY)
+    variables = init_vqa_model(model, jax.random.PRNGKey(0))
+    sh = variables_shardings(variables, mesh)
+    wq = sh["params"]["text_encoder"]["layer0"]["self_attention"]["W_q"]["kernel"]
+    assert wq.spec == P(None, "model")
+    v_sh = shard_variables(variables, mesh)
+    arr = v_sh["params"]["text_encoder"]["layer0"]["self_attention"]["W_q"]["kernel"]
+    # actually distributed: each shard holds half the columns
+    assert arr.sharding.spec == P(None, "model")
+
+
+def test_dp_tp_train_step_executes():
+    """Full train step over a (4 data × 2 model) mesh — XLA inserts the
+    gradient psum over 'data' and the TP collectives over 'model'."""
+    from vqa_tpu.training.train import TrainState, make_optimizer, make_train_step
+    from vqa_tpu.utils.config import TrainingConfig
+
+    mesh = create_mesh(data_parallel=4, model_parallel=2)
+    model = create_vqa_model(**TINY)
+    variables = shard_variables(
+        init_vqa_model(model, jax.random.PRNGKey(0)), mesh
+    )
+    tx, _ = make_optimizer(TrainingConfig(warmup_epochs=0), 10)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx,
+        batch_stats=variables["batch_stats"],
+    )
+    train_step = make_train_step(model)
+
+    rng = np.random.default_rng(0)
+    bs = data_sharding(mesh)
+    images = jax.device_put(
+        jnp.asarray(rng.normal(size=(8, 32, 32, 3)), jnp.float32), bs)
+    ids = jax.device_put(
+        jnp.asarray(rng.integers(4, 64, size=(8, 6)), jnp.int32), bs)
+    mask = jax.device_put(jnp.ones((8, 6), jnp.int32), bs)
+    labels = jax.device_put(
+        jnp.asarray(rng.integers(0, 16, size=(8,)), jnp.int32), bs)
+
+    state2, m = train_step(state, images, ids, mask, labels,
+                           jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    # params remain TP-sharded after the update
+    wq = state2.params["text_encoder"]["layer0"]["self_attention"]["W_q"]["kernel"]
+    assert wq.sharding.spec == P(None, "model")
+    # second step (donated buffers path)
+    state3, m2 = train_step(state2, images, ids, mask, labels,
+                            jax.random.PRNGKey(1))
+    assert np.isfinite(float(m2["loss"]))
+
+
+def test_prefetch_with_sharding():
+    mesh = create_mesh(data_parallel=8)
+    batches = [
+        {"image": np.ones((8, 4, 4, 3), np.float32), "valid": 8}
+        for _ in range(3)
+    ]
+    out = list(prefetch_to_device(iter(batches), sharding=data_sharding(mesh)))
+    assert len(out) == 3
+    assert out[0]["image"].sharding.spec == P("data")
+    assert out[0]["valid"] == 8

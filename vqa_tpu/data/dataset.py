@@ -1,0 +1,339 @@
+"""VQA-v2 dataset, demo dataset, and batch loaders.
+
+Re-design of the reference data layer (reference: data/dataset.py:41-472)
+for a JAX input pipeline: datasets yield numpy sample dicts; ``BatchLoader``
+produces fixed-shape numpy batches (static shapes → one compiled XLA
+program); host-side work overlaps device steps via
+vqa_tpu.data.pipeline.prefetch_to_device.
+
+Deliberate fix vs the reference: ``create_train_val_loaders`` builds the
+sample list/vocab/tokenizer ONCE and shares them across the train/val
+splits — the reference constructs the full dataset three times
+(data/dataset.py:302-356, flagged in SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from vqa_tpu.data.preprocess import augment_image, preprocess_image
+from vqa_tpu.data.vocab import AnswerVocabulary
+from vqa_tpu.utils.tokenizer import Tokenizer, create_tokenizer_from_questions
+
+
+class VQADataset:
+    """VQA-v2 questions + annotations + COCO images
+    (reference: data/dataset.py:41-259).
+
+    Samples are filtered to images that exist on disk (filename
+    ``{image_id:012d}.jpg``) and answers inside the answer vocabulary.
+    """
+
+    def __init__(
+        self,
+        questions_path: str,
+        annotations_path: str,
+        images_dir: str,
+        tokenizer: Optional[Tokenizer] = None,
+        answer_vocab: Optional[AnswerVocabulary] = None,
+        num_answers: int = 1000,
+        max_question_length: int = 20,
+        vocab_size: int = 10000,
+        max_samples: Optional[int] = None,
+        is_training: bool = True,
+        image_size: int = 224,
+        seed: int = 42,
+    ):
+        self.images_dir = images_dir
+        self.is_training = is_training
+        self.image_size = image_size
+        self._rng = np.random.default_rng(seed)
+
+        with open(questions_path, "r", encoding="utf-8") as f:
+            questions = json.load(f)["questions"]
+        with open(annotations_path, "r", encoding="utf-8") as f:
+            annotations = json.load(f)["annotations"]
+        ann_by_qid = {a["question_id"]: a for a in annotations}
+
+        # answer vocabulary (primary answers, reference: data/dataset.py:124-134)
+        if answer_vocab is None:
+            answer_vocab = AnswerVocabulary(num_answers=num_answers)
+            answer_vocab.build_from_qa_pairs(
+                [
+                    {"answer": ann_by_qid[q["question_id"]]["multiple_choice_answer"]}
+                    for q in questions
+                    if q["question_id"] in ann_by_qid
+                ]
+            )
+        self.answer_vocab = answer_vocab
+
+        # sample list: image exists + answer in vocab
+        # (reference: data/dataset.py:151-202)
+        self.samples: List[dict] = []
+        for q in questions:
+            ann = ann_by_qid.get(q["question_id"])
+            if ann is None:
+                continue
+            image_file = os.path.join(
+                images_dir, f"{q['image_id']:012d}.jpg"
+            )
+            if not os.path.exists(image_file):
+                continue
+            answer_idx = answer_vocab.encode(ann["multiple_choice_answer"])
+            if answer_idx < 0:
+                continue
+            self.samples.append(
+                {
+                    "image_path": image_file,
+                    "question": q["question"],
+                    "question_id": q["question_id"],
+                    "answer": answer_idx,
+                    "question_type": ann.get("question_type", "unknown"),
+                    "annotator_answers": [
+                        answer_vocab.encode(a["answer"])
+                        for a in ann.get("answers", [])
+                    ],
+                }
+            )
+            if max_samples is not None and len(self.samples) >= max_samples:
+                break
+
+        # tokenizer from sample questions (reference: data/dataset.py:141-149)
+        if tokenizer is None:
+            tokenizer = create_tokenizer_from_questions(
+                [s["question"] for s in self.samples],
+                max_length=max_question_length,
+                vocab_size=vocab_size,
+            )
+        self.tokenizer = tokenizer
+        print(f"[VQADataset] {len(self.samples)} usable samples")
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, idx: int) -> dict:
+        s = self.samples[idx]
+        if self.is_training:
+            image = augment_image(s["image_path"], self._rng, self.image_size)
+        else:
+            image = preprocess_image(s["image_path"], self.image_size)
+        ids, mask = self.tokenizer.encode(s["question"])
+        return {
+            "image": image,
+            "token_ids": np.asarray(ids, np.int32),
+            "attention_mask": np.asarray(mask, np.int32),
+            "answer": s["answer"],
+            "question_type": s["question_type"],
+        }
+
+
+class DemoVQADataset:
+    """Random tensors with real shapes — lets the whole stack run with zero
+    downloaded data (reference: data/dataset.py:384-437)."""
+
+    def __init__(
+        self,
+        num_samples: int = 256,
+        image_size: int = 224,
+        max_question_length: int = 20,
+        vocab_size: int = 1000,
+        num_answers: int = 1000,
+        seed: int = 42,
+    ):
+        self.num_samples = num_samples
+        self.image_size = image_size
+        self.max_question_length = max_question_length
+        self.vocab_size = vocab_size
+        self.num_answers = num_answers
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+    def __getitem__(self, idx: int) -> dict:
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        L = self.max_question_length
+        q_len = int(rng.integers(3, L + 1))
+        ids = np.zeros((L,), np.int32)
+        ids[0] = 2  # START
+        ids[1 : q_len - 1] = rng.integers(4, self.vocab_size, q_len - 2)
+        ids[q_len - 1] = 3  # END
+        mask = (np.arange(L) < q_len).astype(np.int32)
+        return {
+            "image": rng.normal(size=(self.image_size, self.image_size, 3)).astype(
+                np.float32
+            ),
+            "token_ids": ids,
+            "attention_mask": mask,
+            "answer": int(rng.integers(0, self.num_answers)),
+            "question_type": "demo",
+        }
+
+
+class BatchLoader:
+    """Fixed-shape numpy batch iterator over a dataset.
+
+    ``drop_last=True`` (train) keeps every batch the same shape — one XLA
+    program. For eval, the final short batch is padded by repeating sample 0
+    and a ``valid`` count is included so metrics ignore the padding.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = True,
+        seed: int = 42,
+        indices: Optional[Sequence[int]] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        self.indices = (
+            np.asarray(indices, np.int64)
+            if indices is not None
+            else np.arange(len(dataset), dtype=np.int64)
+        )
+
+    def __len__(self) -> int:
+        n = len(self.indices)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        order = self.indices.copy()
+        if self.shuffle:
+            self._rng.shuffle(order)
+        n_full = len(order) // self.batch_size
+        for b in range(len(self)):
+            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+            valid = len(idx)
+            if valid < self.batch_size:  # pad final eval batch
+                pad = np.full(self.batch_size - valid, order[0], np.int64)
+                idx = np.concatenate([idx, pad])
+            samples = [self.dataset[int(i)] for i in idx]
+            batch = {
+                "image": np.stack([s["image"] for s in samples]),
+                "token_ids": np.stack([s["token_ids"] for s in samples]),
+                "attention_mask": np.stack(
+                    [s["attention_mask"] for s in samples]
+                ),
+                "answer": np.asarray(
+                    [s["answer"] for s in samples], np.int32
+                ),
+                "valid": valid,
+                "question_types": [s.get("question_type", "unknown") for s in samples],
+            }
+            yield batch
+
+
+def create_train_val_loaders(
+    questions_path: str,
+    annotations_path: str,
+    images_dir: str,
+    batch_size: int = 32,
+    eval_batch_size: int = 64,
+    max_samples: Optional[int] = 25000,
+    train_split: float = 0.8,
+    max_question_length: int = 20,
+    vocab_size: int = 10000,
+    num_answers: int = 1000,
+    image_size: int = 224,
+    seed: int = 42,
+) -> Tuple[BatchLoader, BatchLoader, Tokenizer, AnswerVocabulary]:
+    """Build train/val loaders with a shared tokenizer + answer vocab
+    (reference: data/dataset.py:262-377, minus the triple construction).
+
+    Train indices get augmentation; val uses the deterministic transform.
+    """
+    base = VQADataset(
+        questions_path,
+        annotations_path,
+        images_dir,
+        num_answers=num_answers,
+        max_question_length=max_question_length,
+        vocab_size=vocab_size,
+        max_samples=max_samples,
+        is_training=True,
+        image_size=image_size,
+        seed=seed,
+    )
+    # deterministic shuffled 80/20 split (reference: data/dataset.py:315-320)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(base))
+    n_train = int(len(base) * train_split)
+    train_idx, val_idx = perm[:n_train], perm[n_train:]
+
+    # val view shares samples/tokenizer/vocab but disables augmentation
+    import copy
+
+    val_ds = copy.copy(base)
+    val_ds.is_training = False
+
+    train_loader = BatchLoader(
+        base, batch_size, shuffle=True, drop_last=True, seed=seed,
+        indices=train_idx,
+    )
+    val_loader = BatchLoader(
+        val_ds, eval_batch_size, shuffle=False, drop_last=False,
+        indices=val_idx,
+    )
+    return train_loader, val_loader, base.tokenizer, base.answer_vocab
+
+
+def create_demo_loaders(
+    batch_size: int = 32,
+    eval_batch_size: int = 64,
+    num_samples: int = 256,
+    image_size: int = 224,
+    max_question_length: int = 20,
+    vocab_size: int = 1000,
+    num_answers: int = 1000,
+    seed: int = 42,
+) -> Tuple[BatchLoader, BatchLoader]:
+    """Demo loaders (reference: data/dataset.py:439-472)."""
+    n_train = int(num_samples * 0.8)
+    ds = DemoVQADataset(
+        num_samples, image_size, max_question_length, vocab_size,
+        num_answers, seed,
+    )
+    train = BatchLoader(
+        ds, batch_size, shuffle=True, drop_last=True, seed=seed,
+        indices=np.arange(n_train),
+    )
+    val = BatchLoader(
+        ds, eval_batch_size, shuffle=False, drop_last=False,
+        indices=np.arange(n_train, num_samples),
+    )
+    return train, val
+
+
+def check_data(
+    questions_path: str, annotations_path: str, images_dir: str
+) -> int:
+    """Data sanity check: question↔image alignment on disk
+    (reference: check_data.py:6-66). Returns usable sample count."""
+    with open(questions_path, "r", encoding="utf-8") as f:
+        questions = json.load(f)["questions"]
+    with open(annotations_path, "r", encoding="utf-8") as f:
+        annotations = json.load(f)["annotations"]
+    qids = {a["question_id"] for a in annotations}
+    usable = 0
+    for q in questions:
+        if q["question_id"] not in qids:
+            continue
+        if os.path.exists(os.path.join(images_dir, f"{q['image_id']:012d}.jpg")):
+            usable += 1
+    if usable == 0:
+        print("[check_data] WARNING: 0 usable samples — check paths")
+    else:
+        print(f"[check_data] {usable} usable samples")
+    return usable

@@ -1,0 +1,108 @@
+"""Orbax checkpointing with the reference's save/best/resume semantics.
+
+The reference torch.saves
+``{epoch, model_state_dict, optimizer_state_dict, scheduler_state_dict,
+best_val_accuracy, config, metrics_history}`` (reference:
+training/train.py:280-294), copies ``best_model.pth`` on improvement, and
+resumes everything (training/train.py:302-320). Here the same contract is
+kept: the Orbax tree carries params/batch_stats/opt_state/step plus the
+scalar metadata; the model config and metric history ride in a sidecar
+JSON so checkpoints are self-describing (reference embeds config the same
+way, models/vqa_model.py:226-241).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from vqa_tpu.utils.config import ModelConfig, model_config_dict, model_config_from_dict
+
+
+def _ckpt_dir(base: str, name: str) -> str:
+    return os.path.join(os.path.abspath(base), name)
+
+
+def save_checkpoint(
+    base_dir: str,
+    name: str,
+    train_state_tree: Dict[str, Any],
+    model_config: ModelConfig,
+    meta: Dict[str, Any],
+) -> str:
+    """Save a checkpoint tree + sidecar meta JSON. Returns the path."""
+    path = _ckpt_dir(base_dir, name)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, train_state_tree)
+    with open(path + ".meta.json", "w", encoding="utf-8") as f:
+        json.dump(
+            {"config": model_config_dict(model_config), "meta": meta},
+            f,
+            indent=2,
+        )
+    return path
+
+
+def load_checkpoint(
+    base_dir: str,
+    name: str,
+    target_tree: Optional[Dict[str, Any]] = None,
+) -> Tuple[Dict[str, Any], ModelConfig, Dict[str, Any]]:
+    """Load (tree, model_config, meta). ``target_tree`` provides the
+    structure/shardings for restoration (required for opt_state etc.)."""
+    path = _ckpt_dir(base_dir, name)
+    with ocp.StandardCheckpointer() as ckptr:
+        if target_tree is not None:
+            abstract = jax.tree_util.tree_map(
+                ocp.utils.to_shape_dtype_struct, target_tree
+            )
+            tree = ckptr.restore(path, abstract)
+        else:
+            tree = ckptr.restore(path)
+    with open(path + ".meta.json", "r", encoding="utf-8") as f:
+        sidecar = json.load(f)
+    return tree, model_config_from_dict(sidecar["config"]), sidecar["meta"]
+
+
+def save_best_copy(base_dir: str, src_name: str = "latest",
+                   best_name: str = "best_model") -> None:
+    """Copy the latest checkpoint as best (reference: training/train.py:297-300)."""
+    src, dst = _ckpt_dir(base_dir, src_name), _ckpt_dir(base_dir, best_name)
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    shutil.copytree(src, dst)
+    shutil.copyfile(src + ".meta.json", dst + ".meta.json")
+
+
+def checkpoint_exists(base_dir: str, name: str) -> bool:
+    return os.path.exists(_ckpt_dir(base_dir, name)) and os.path.exists(
+        _ckpt_dir(base_dir, name) + ".meta.json"
+    )
+
+
+def load_model_for_inference(base_dir: str, name: str = "best_model"):
+    """Model-only load reconstructing the architecture from the embedded
+    config (reference: models/vqa_model.py:410-432). Returns
+    (model, {'params', 'batch_stats'})."""
+    from vqa_tpu.models import create_vqa_model
+
+    path = _ckpt_dir(base_dir, name)
+    with open(path + ".meta.json", "r", encoding="utf-8") as f:
+        sidecar = json.load(f)
+    cfg = model_config_from_dict(sidecar["config"])
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(path)
+    model = create_vqa_model(config=cfg)
+    variables = {
+        "params": tree["params"],
+        "batch_stats": tree["batch_stats"],
+    }
+    return model, variables

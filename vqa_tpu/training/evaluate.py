@@ -1,0 +1,278 @@
+"""Evaluation: accuracy, confusion analysis, error pairs, reports.
+
+Re-design of the reference evaluator (reference: training/evaluate.py:44-402)
+with the same outputs — top-1/top-5, per-question-type accuracy, confusion
+matrix + per-class accuracy over the top-100 classes, most-common
+(pred, target) error pairs decoded through the answer vocab, sample top-5
+predictions, text report + JSON results — plus two things the reference
+implements but never wires in (SURVEY.md §2.3):
+
+- per-question-type accuracy is actually fed (question types ride in the
+  batch metadata);
+- the official VQA soft accuracy min(1, agreement/3) is reported whenever
+  annotator answers are available.
+
+All batch math runs in one jitted XLA program per batch; the confusion
+matrix is a vectorized scatter-add, not the reference's Python loop
+(utils/metrics.py:231-233).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from collections import Counter
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqa_tpu.data.dataset import BatchLoader, DemoVQADataset, VQADataset
+from vqa_tpu.data.pipeline import prefetch_to_device
+from vqa_tpu.data.vocab import AnswerVocabulary
+from vqa_tpu.training.train import make_eval_step
+from vqa_tpu.utils.metrics import confusion_matrix, per_class_accuracy
+from vqa_tpu.utils.tokenizer import Tokenizer
+
+
+class Evaluator:
+    """Full-dataset evaluation with error analysis
+    (reference: training/evaluate.py:44-294)."""
+
+    def __init__(self, model, variables, answer_vocab: Optional[AnswerVocabulary] = None):
+        self.model = model
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.answer_vocab = answer_vocab
+        self.eval_step = make_eval_step(model)
+
+    def evaluate(self, loader: BatchLoader, top_classes: int = 100) -> Dict[str, Any]:
+        preds: List[np.ndarray] = []
+        targets: List[np.ndarray] = []
+        c1 = c5 = n = 0
+        loss_sum = 0.0
+        type_total: Dict[str, int] = {}
+        type_correct: Dict[str, int] = {}
+        soft_sum, soft_n = 0.0, 0
+
+        for batch in prefetch_to_device(loader):
+            out = self.eval_step(
+                self.params,
+                self.batch_stats,
+                batch["image"],
+                batch["token_ids"],
+                batch["attention_mask"],
+                batch["answer"],
+            )
+            valid = int(batch["valid"])
+            pred = np.asarray(out["pred"])[:valid]
+            tgt = np.asarray(batch["answer"])[:valid]
+            correct1 = np.asarray(out["correct1"])[:valid]
+            preds.append(pred)
+            targets.append(tgt)
+            c1 += int(correct1.sum())
+            c5 += int(np.asarray(out["correct5"])[:valid].sum())
+            loss_sum += float(np.asarray(out["loss_vec"])[:valid].sum())
+            n += valid
+            qtypes = batch.get("question_types")
+            if qtypes:
+                for qt, ok in zip(qtypes[:valid], correct1):
+                    type_total[qt] = type_total.get(qt, 0) + 1
+                    if ok:
+                        type_correct[qt] = type_correct.get(qt, 0) + 1
+            ann = batch.get("annotator_answers")
+            if ann is not None:
+                agree = (np.asarray(ann)[:valid] == pred[:, None]).sum(-1)
+                soft_sum += float(np.minimum(1.0, agree / 3.0).sum())
+                soft_n += valid
+
+        preds_all = np.concatenate(preds) if preds else np.zeros(0, np.int32)
+        targets_all = np.concatenate(targets) if targets else np.zeros(0, np.int32)
+        n = max(n, 1)
+
+        results: Dict[str, Any] = {
+            "num_samples": int(len(preds_all)),
+            "loss": loss_sum / n,
+            "top1_accuracy": c1 / n,
+            "top5_accuracy": c5 / n,
+            "per_type_accuracy": {
+                qt: type_correct.get(qt, 0) / tot
+                for qt, tot in sorted(type_total.items())
+            },
+        }
+        if soft_n:
+            results["vqa_soft_accuracy"] = soft_sum / soft_n
+
+        # confusion analysis over the most frequent classes
+        # (reference: training/evaluate.py:119-125)
+        if len(preds_all):
+            k = min(top_classes, int(targets_all.max()) + 1)
+            sel = (targets_all < k) & (preds_all < k)
+            cm = confusion_matrix(
+                jnp.asarray(preds_all[sel]), jnp.asarray(targets_all[sel]), k
+            )
+            pca = per_class_accuracy(cm)
+            results["per_class_accuracy_top"] = np.asarray(pca).tolist()
+            results["error_pairs"] = self._analyze_errors(preds_all, targets_all)
+        return results
+
+    def _analyze_errors(
+        self, preds: np.ndarray, targets: np.ndarray, top_n: int = 20
+    ) -> List[Dict[str, Any]]:
+        """Most common (pred, target) mistakes, decoded
+        (reference: training/evaluate.py:141-193)."""
+        wrong = preds != targets
+        pairs = Counter(zip(preds[wrong].tolist(), targets[wrong].tolist()))
+        out = []
+        for (p, t), count in pairs.most_common(top_n):
+            item = {"predicted": int(p), "target": int(t), "count": int(count)}
+            if self.answer_vocab is not None:
+                item["predicted_answer"] = self.answer_vocab.decode(p)
+                item["target_answer"] = self.answer_vocab.decode(t)
+            out.append(item)
+        return out
+
+    def sample_predictions(
+        self, loader: BatchLoader, tokenizer: Optional[Tokenizer], num: int = 20
+    ) -> List[Dict[str, Any]]:
+        """Decoded sample top-5 predictions
+        (reference: training/evaluate.py:195-244)."""
+        samples = []
+        for batch in loader:
+            out = self.eval_step(
+                self.params,
+                self.batch_stats,
+                jnp.asarray(batch["image"]),
+                jnp.asarray(batch["token_ids"]),
+                jnp.asarray(batch["attention_mask"]),
+                jnp.asarray(batch["answer"]),
+            )
+            logits = np.asarray(out["logits"])
+            valid = int(batch["valid"])
+            for i in range(valid):
+                probs = jax.nn.softmax(jnp.asarray(logits[i]))
+                top_p, top_i = jax.lax.top_k(probs, 5)
+                entry = {
+                    "target": int(batch["answer"][i]),
+                    "top5_indices": np.asarray(top_i).tolist(),
+                    "top5_probs": np.asarray(top_p).tolist(),
+                }
+                if tokenizer is not None:
+                    entry["question"] = tokenizer.decode(batch["token_ids"][i])
+                if self.answer_vocab is not None:
+                    entry["target_answer"] = self.answer_vocab.decode(
+                        int(batch["answer"][i])
+                    )
+                    entry["top5_answers"] = [
+                        self.answer_vocab.decode(int(j))
+                        for j in np.asarray(top_i)
+                    ]
+                samples.append(entry)
+                if len(samples) >= num:
+                    return samples
+        return samples
+
+    def generate_report(self, results: Dict[str, Any]) -> str:
+        """Text report (reference: training/evaluate.py:246-294)."""
+        lines = [
+            "=" * 60,
+            "VQA Evaluation Report",
+            "=" * 60,
+            f"samples:        {results['num_samples']}",
+            f"loss:           {results['loss']:.4f}",
+            f"top-1 accuracy: {results['top1_accuracy']:.4f}",
+            f"top-5 accuracy: {results['top5_accuracy']:.4f}",
+        ]
+        if "vqa_soft_accuracy" in results:
+            lines.append(f"VQA soft acc:   {results['vqa_soft_accuracy']:.4f}")
+        if results.get("per_type_accuracy"):
+            lines.append("\nPer-question-type accuracy:")
+            for qt, acc in results["per_type_accuracy"].items():
+                lines.append(f"  {qt:30s} {acc:.4f}")
+        if results.get("error_pairs"):
+            lines.append("\nMost common errors (pred ← target):")
+            for e in results["error_pairs"][:10]:
+                p = e.get("predicted_answer", e["predicted"])
+                t = e.get("target_answer", e["target"])
+                lines.append(f"  {p!s:20s} ← {t!s:20s} ×{e['count']}")
+        lines.append("=" * 60)
+        return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# CLI (reference: training/evaluate.py:297-402)
+# ---------------------------------------------------------------------------
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate a VQA checkpoint")
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--checkpoint", default="best_model")
+    p.add_argument("--questions", default=None)
+    p.add_argument("--annotations", default=None)
+    p.add_argument("--images-dir", default=None)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--max-samples", type=int, default=5000)
+    p.add_argument("--demo", action="store_true")
+    p.add_argument("--output-dir", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    from vqa_tpu.training.checkpoint import load_model_for_inference
+    from vqa_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    args = parse_args(argv)
+
+    model, variables = load_model_for_inference(
+        args.checkpoint_dir, args.checkpoint
+    )
+    cfg = model.config
+
+    tokenizer = answer_vocab = None
+    tok_path = os.path.join(args.checkpoint_dir, "tokenizer.json")
+    vocab_path = os.path.join(args.checkpoint_dir, "answer_vocab.json")
+    if os.path.exists(tok_path):
+        tokenizer = Tokenizer()
+        tokenizer.load(tok_path)
+    if os.path.exists(vocab_path):
+        answer_vocab = AnswerVocabulary()
+        answer_vocab.load(vocab_path)
+
+    if args.demo or not (args.questions and os.path.exists(args.questions)):
+        ds = DemoVQADataset(
+            num_samples=min(args.max_samples, 256),
+            image_size=cfg.image_size,
+            max_question_length=cfg.max_question_length,
+            vocab_size=cfg.vocab_size,
+            num_answers=cfg.num_answers,
+        )
+        loader = BatchLoader(ds, args.batch_size, drop_last=False)
+    else:
+        ds = VQADataset(
+            args.questions, args.annotations, args.images_dir,
+            tokenizer=tokenizer, answer_vocab=answer_vocab,
+            num_answers=cfg.num_answers,
+            max_question_length=cfg.max_question_length,
+            max_samples=args.max_samples, is_training=False,
+            image_size=cfg.image_size,
+        )
+        loader = BatchLoader(ds, args.batch_size, drop_last=False)
+
+    ev = Evaluator(model, variables, answer_vocab)
+    results = ev.evaluate(loader)
+    report = ev.generate_report(results)
+    print(report)
+
+    out_dir = args.output_dir or args.checkpoint_dir
+    with open(os.path.join(out_dir, "evaluation_results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    with open(os.path.join(out_dir, "evaluation_report.txt"), "w") as f:
+        f.write(report)
+    return results
+
+
+if __name__ == "__main__":
+    main()

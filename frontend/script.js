@@ -1,0 +1,121 @@
+/* VQA frontend — speaks the same HTTP contract as the reference
+ * (POST /predict multipart, GET /health). */
+
+const API_BASE = window.location.pathname.startsWith("/app")
+  ? window.location.origin
+  : "http://localhost:8000";
+
+const MAX_FILE_MB = 10;
+
+const el = (id) => document.getElementById(id);
+let currentFile = null;
+
+// ---- health check on load -------------------------------------------------
+async function checkHealth() {
+  try {
+    const r = await fetch(`${API_BASE}/health`);
+    const j = await r.json();
+    el("health").classList.add(j.status === "healthy" ? "ok" : "bad");
+    el("health").title = j.model_loaded
+      ? "API healthy · trained model loaded"
+      : "API healthy · random model (no checkpoint)";
+  } catch {
+    el("health").classList.add("bad");
+    el("health").title = "API unreachable";
+  }
+}
+checkHealth();
+
+// ---- image upload ----------------------------------------------------------
+function setFile(file) {
+  if (!file) return;
+  if (!file.type.startsWith("image/")) {
+    return setStatus("Please choose an image file.", true);
+  }
+  if (file.size > MAX_FILE_MB * 1024 * 1024) {
+    return setStatus(`Image must be under ${MAX_FILE_MB} MB.`, true);
+  }
+  currentFile = file;
+  const img = el("preview");
+  img.src = URL.createObjectURL(file);
+  img.hidden = false;
+  el("dropzone").classList.add("has-image");
+  updateAskButton();
+  setStatus("Image ready — ask away.");
+}
+
+const dz = el("dropzone");
+dz.addEventListener("dragover", (e) => { e.preventDefault(); dz.classList.add("drag"); });
+dz.addEventListener("dragleave", () => dz.classList.remove("drag"));
+dz.addEventListener("drop", (e) => {
+  e.preventDefault();
+  dz.classList.remove("drag");
+  setFile(e.dataTransfer.files[0]);
+});
+el("file-input").addEventListener("change", (e) => setFile(e.target.files[0]));
+
+// ---- question --------------------------------------------------------------
+document.querySelectorAll(".example").forEach((b) =>
+  b.addEventListener("click", () => {
+    el("question").value = b.textContent;
+    updateAskButton();
+  })
+);
+el("question").addEventListener("input", updateAskButton);
+el("question").addEventListener("keydown", (e) => {
+  if (e.key === "Enter" && !el("ask").disabled) submit();
+});
+
+function updateAskButton() {
+  const q = el("question").value.trim();
+  el("ask").disabled = !(currentFile && q.split(/\s+/).length >= 2);
+}
+
+// ---- predict ---------------------------------------------------------------
+function setStatus(msg, isError = false) {
+  const s = el("status");
+  s.textContent = msg;
+  s.classList.toggle("error", isError);
+  s.hidden = false;
+}
+
+async function submit() {
+  const question = el("question").value.trim();
+  const form = new FormData();
+  form.append("image", currentFile);
+  form.append("question", question);
+  form.append("top_k", "5");
+
+  el("ask").disabled = true;
+  el("result").hidden = true;
+  setStatus("Thinking…");
+  const t0 = performance.now();
+  try {
+    const r = await fetch(`${API_BASE}/predict`, { method: "POST", body: form });
+    const j = await r.json();
+    if (!j.success) throw new Error(j.error || j.detail || "prediction failed");
+    renderResult(j, performance.now() - t0);
+  } catch (err) {
+    setStatus(`Error: ${err.message}`, true);
+  } finally {
+    el("ask").disabled = false;
+  }
+}
+el("ask").addEventListener("click", submit);
+
+function renderResult(j, ms) {
+  el("status").hidden = true;
+  el("result").hidden = false;
+  el("top-answer").textContent = j.top_answer;
+  const pct = Math.round(j.confidence * 100);
+  el("confidence-fill").style.width = `${pct}%`;
+  el("confidence-label").textContent = `${pct}% confident`;
+  const ul = el("alternatives");
+  ul.innerHTML = "";
+  j.answers.slice(1).forEach((a) => {
+    const li = document.createElement("li");
+    li.innerHTML = `<span>${a.answer}</span><span>${(a.probability * 100).toFixed(1)}%</span>`;
+    ul.appendChild(li);
+  });
+  el("timing").textContent = `answered in ${ms.toFixed(0)} ms`;
+}

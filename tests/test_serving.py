@@ -1,0 +1,209 @@
+"""Serving tests: engine fallbacks, bucket batching, micro-batcher, and the
+HTTP server driven over a real socket."""
+
+import io
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vqa_tpu.serving.batcher import MicroBatcher
+from vqa_tpu.serving.engine import VQAInference
+from vqa_tpu.serving.server import VQAServer, parse_multipart
+from vqa_tpu.utils.config import InferenceConfig, ModelConfig
+
+TINY_CFG = ModelConfig(
+    vocab_size=50, embed_dim=16, num_answers=8,
+    num_transformer_layers=1, num_attention_heads=2, ffn_hidden_dim=32,
+    max_question_length=6, image_size=32, base_channels=8,
+    stage_channels=(8, 16, 32, 64), feature_spatial_size=1,
+)
+
+
+def _png_bytes(size=40, color=(200, 30, 30)):
+    img = Image.new("RGB", (size, size), color)
+    buf = io.BytesIO()
+    img.save(buf, "PNG")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = InferenceConfig(batch_buckets=(1, 4))
+    return VQAInference(model_config=TINY_CFG, config=cfg).load()
+
+
+def test_engine_fallbacks_without_checkpoint(engine):
+    """No checkpoint → random model + default tokenizer + answer_i
+    placeholders (reference: api/inference.py:96-132)."""
+    assert not engine.model_loaded_from_checkpoint
+    assert engine.tokenizer.vocab_size > 4
+    assert engine.answer_vocab.decode(0) == "answer_0"
+
+
+def test_engine_predict_shapes(engine):
+    result = engine.predict(_png_bytes(), "what color is this", top_k=3)
+    assert result["top_answer"].startswith("answer_")
+    assert len(result["answers"]) == 3
+    probs = [a["probability"] for a in result["answers"]]
+    assert probs == sorted(probs, reverse=True)
+    assert 0 < result["confidence"] <= 1
+
+
+def test_engine_bucket_padding_consistency(engine):
+    """A 3-image batch (padded to bucket 4) must give the same answers as
+    three singleton calls."""
+    imgs = [_png_bytes(color=(i * 40, 100, 50)) for i in range(3)]
+    qs = ["what is this thing"] * 3
+    batch = engine.predict_batch(imgs, qs, top_k=2)
+    singles = [engine.predict(im, q, top_k=2) for im, q in zip(imgs, qs)]
+    for b, s in zip(batch, singles):
+        assert b["top_answer"] == s["top_answer"]
+        assert abs(b["confidence"] - s["confidence"]) < 2e-3
+
+
+def test_micro_batcher_batches_concurrent_requests(engine):
+    batcher = MicroBatcher(engine, max_batch_size=8, batch_timeout_ms=50)
+    results = [None] * 6
+
+    def call(i):
+        results[i] = batcher.submit(_png_bytes(), "what color is this", 2)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert all(r is not None for r in results)
+    stats = batcher.latency_stats()
+    assert stats["count"] == 6
+    # 6 concurrent requests should need far fewer than 6 batches
+    assert batcher.total_batches <= 3
+    batcher.shutdown()
+
+
+def test_parse_multipart():
+    body = (
+        b"--BOUND\r\n"
+        b'Content-Disposition: form-data; name="question"\r\n\r\n'
+        b"what is this\r\n"
+        b"--BOUND\r\n"
+        b'Content-Disposition: form-data; name="image"; filename="x.png"\r\n'
+        b"Content-Type: image/png\r\n\r\n"
+        b"PNGDATA\r\n"
+        b"--BOUND--\r\n"
+    )
+    fields = parse_multipart('multipart/form-data; boundary="BOUND"', body)
+    assert fields["question"][0] == (None, b"what is this")
+    assert fields["image"][0] == ("x.png", b"PNGDATA")
+
+
+@pytest.fixture(scope="module")
+def http_server(engine):
+    server = VQAServer(engine=engine, preload=True,
+                       config=InferenceConfig(batch_timeout_ms=2.0))
+    port = 18731
+    t = threading.Thread(target=server.serve, args=("127.0.0.1", port),
+                         daemon=True)
+    t.start()
+    time.sleep(0.5)
+    yield f"http://127.0.0.1:{port}"
+    server.shutdown()
+
+
+def _post_multipart(url, fields, files):
+    boundary = "XBOUNDARYX"
+    parts = []
+    for name, value in fields.items():
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; name="{name}"'
+            f"\r\n\r\n{value}\r\n".encode()
+        )
+    for name, (fname, data) in files.items():
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; name="{name}"; '
+            f'filename="{fname}"\r\nContent-Type: image/png\r\n\r\n'.encode()
+            + data + b"\r\n"
+        )
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        url, data=body,
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_http_health_and_info(http_server):
+    with urllib.request.urlopen(http_server + "/health", timeout=30) as r:
+        j = json.loads(r.read())
+    assert j["status"] == "healthy"
+    assert j["model_loaded"] is False
+    with urllib.request.urlopen(http_server + "/model-info", timeout=30) as r:
+        j = json.loads(r.read())
+    assert j["num_answers"] == 8
+    assert j["total_parameters"] > 0
+
+
+def test_http_predict(http_server):
+    status, j = _post_multipart(
+        http_server + "/predict",
+        {"question": "what color is this", "top_k": "3"},
+        {"image": ("test.png", _png_bytes())},
+    )
+    assert status == 200
+    assert j["success"] is True
+    assert len(j["answers"]) == 3
+    assert j["top_answer"]
+
+
+def test_http_predict_validation(http_server):
+    # one-word question → 400 with named reason (reference: api/main.py:183-194)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_multipart(
+            http_server + "/predict",
+            {"question": "what"},
+            {"image": ("t.png", _png_bytes())},
+        )
+    assert e.value.code == 400
+
+
+def test_http_predict_batch(http_server):
+    # 1 image vs 2 questions → 400 with named mismatch
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_multipart(
+            http_server + "/predict-batch",
+            {"questions": "what is this, what color is that"},
+            {"images": ("a.png", _png_bytes())},
+        )
+    assert e.value.code == 400
+
+    # matching pair → success
+    status, j = _post_multipart(
+        http_server + "/predict-batch",
+        {"questions": "what is this"},
+        {"images": ("a.png", _png_bytes())},
+    )
+    assert status == 200 and j["success"] and len(j["predictions"]) == 1
+
+
+def test_http_index_and_404(http_server):
+    with urllib.request.urlopen(http_server + "/", timeout=30) as r:
+        j = json.loads(r.read())
+    assert j["name"] == "VQA API"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(http_server + "/nope", timeout=30)
+    assert e.value.code == 404
+
+
+def test_http_frontend_served(http_server):
+    with urllib.request.urlopen(http_server + "/app", timeout=30) as r:
+        html = r.read().decode()
+    assert "Visual Question Answering" in html
+    with urllib.request.urlopen(http_server + "/app/script.js", timeout=30) as r:
+        assert "predict" in r.read().decode()

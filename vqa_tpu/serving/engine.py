@@ -1,0 +1,308 @@
+"""Inference engine: checkpoint loading with graceful fallbacks + jitted
+bucket-batched forward.
+
+Re-design of the reference engine (reference: api/inference.py:36-358) with
+the same degradation chain — missing checkpoint → randomly-initialized
+default model; missing tokenizer JSON → tiny built-in vocab; missing answer
+vocab → ``answer_i`` placeholders — plus TPU-first mechanics:
+
+- ONE compiled XLA program per batch bucket (1/4/16/32): requests are
+  padded up to the nearest bucket so arbitrary batch sizes never trigger
+  recompilation;
+- the host ships uint8 pixels; /255 + ImageNet normalize run on device,
+  fused into the forward program;
+- can also load a *reference PyTorch* checkpoint directly through
+  vqa_tpu.compat.torch_import — a reference user's .pth just works.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqa_tpu.data.preprocess import (
+    ImageInput,
+    device_normalize,
+    preprocess_image_bytes,
+    resize_image,
+    load_image,
+    to_uint8,
+    validate_question,
+)
+from vqa_tpu.data.vocab import AnswerVocabulary
+from vqa_tpu.utils.config import InferenceConfig, ModelConfig
+from vqa_tpu.utils.tokenizer import Tokenizer
+
+_DEFAULT_QUESTION_WORDS = [
+    "what", "is", "this", "color", "how", "many", "are", "there", "the",
+    "a", "in", "on", "of", "man", "woman", "dog", "cat", "doing", "wearing",
+]
+
+
+class VQAInference:
+    """Lazy-loading inference engine (reference: api/inference.py:36-193)."""
+
+    def __init__(
+        self,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_name: str = "best_model",
+        config: Optional[InferenceConfig] = None,
+        model_config: Optional[ModelConfig] = None,
+        dtype=None,
+    ):
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_name = checkpoint_name
+        self.cfg = config or InferenceConfig()
+        self._model_config = model_config
+        self._dtype = dtype
+        self.model = None
+        self.variables = None
+        self.tokenizer: Optional[Tokenizer] = None
+        self.answer_vocab: Optional[AnswerVocabulary] = None
+        self.model_loaded_from_checkpoint = False
+        self._forward = None
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------------
+    def load(self) -> "VQAInference":
+        import jax.numpy as jnp
+
+        from vqa_tpu.models import create_vqa_model, init_vqa_model
+
+        dtype = self._dtype
+        if dtype is None:
+            dtype = (
+                jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+            )
+
+        # ---- model: checkpoint → torch .pth → random default -----------
+        loaded = False
+        if self.checkpoint_dir:
+            from vqa_tpu.training import checkpoint as ckpt_lib
+
+            if ckpt_lib.checkpoint_exists(self.checkpoint_dir, self.checkpoint_name):
+                model, variables = ckpt_lib.load_model_for_inference(
+                    self.checkpoint_dir, self.checkpoint_name
+                )
+                self.model = create_vqa_model(config=model.config, dtype=dtype)
+                self.variables = variables
+                loaded = True
+                print(f"[Inference] loaded checkpoint {self.checkpoint_name}")
+            else:
+                pth = os.path.join(self.checkpoint_dir, self.checkpoint_name)
+                if os.path.exists(pth) and pth.endswith(".pth"):
+                    from vqa_tpu.compat.torch_import import load_torch_checkpoint
+
+                    variables, mcfg = load_torch_checkpoint(pth)
+                    self.model = create_vqa_model(config=mcfg, dtype=dtype)
+                    self.variables = variables
+                    loaded = True
+                    print(f"[Inference] imported PyTorch checkpoint {pth}")
+        if not loaded:
+            # random default model (reference: api/inference.py:96-102)
+            print("[Inference] no checkpoint — using randomly initialized model")
+            mcfg = self._model_config or ModelConfig()
+            self.model = create_vqa_model(config=mcfg, dtype=dtype)
+            self.variables = init_vqa_model(self.model, jax.random.PRNGKey(0))
+        self.model_loaded_from_checkpoint = loaded
+
+        # ---- tokenizer (reference: api/inference.py:107-119) -----------
+        tok_path = (
+            os.path.join(self.checkpoint_dir, "tokenizer.json")
+            if self.checkpoint_dir
+            else None
+        )
+        self.tokenizer = Tokenizer(
+            max_length=self.model.config.max_question_length
+        )
+        if tok_path and os.path.exists(tok_path):
+            self.tokenizer.load(tok_path)
+        else:
+            self.tokenizer.build_vocab(
+                [" ".join(_DEFAULT_QUESTION_WORDS)], min_freq=1
+            )
+
+        # ---- answer vocab (reference: api/inference.py:122-132) --------
+        vocab_path = (
+            os.path.join(self.checkpoint_dir, "answer_vocab.json")
+            if self.checkpoint_dir
+            else None
+        )
+        self.answer_vocab = AnswerVocabulary(
+            num_answers=self.model.config.num_answers
+        )
+        if vocab_path and os.path.exists(vocab_path):
+            self.answer_vocab.load(vocab_path)
+        else:
+            self.answer_vocab.answer2idx = {
+                f"answer_{i}": i for i in range(self.model.config.num_answers)
+            }
+            self.answer_vocab.idx2answer = {
+                i: f"answer_{i}" for i in range(self.model.config.num_answers)
+            }
+            self.answer_vocab._is_built = True
+
+        # ---- compiled forward -------------------------------------------
+        model = self.model
+        mdtype = dtype
+
+        @jax.jit
+        def forward(variables, pixels_u8, token_ids, attention_mask):
+            images = device_normalize(pixels_u8).astype(mdtype)
+            logits, _ = model.apply(
+                variables, images, token_ids, attention_mask, train=False
+            )
+            return jax.nn.softmax(logits, axis=-1)
+
+        self._forward = forward
+        return self
+
+    def _ensure_loaded(self):
+        if self._forward is None:
+            with self._lock:
+                if self._forward is None:
+                    self.load()
+
+    def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:
+        """Pre-compile the forward program for every batch bucket so the
+        first real request (and the first burst) never pays an XLA compile."""
+        self._ensure_loaded()
+        size = self.model.config.image_size
+        L = self.model.config.max_question_length
+        for b in buckets or self.cfg.batch_buckets:
+            pixels = jnp.zeros((b, size, size, 3), jnp.uint8)
+            ids = jnp.ones((b, L), jnp.int32)
+            mask = jnp.ones((b, L), jnp.int32)
+            jax.block_until_ready(
+                self._forward(self.variables, pixels, ids, mask)
+            )
+        print(f"[Inference] warmed buckets {tuple(buckets or self.cfg.batch_buckets)}")
+
+    # ------------------------------------------------------------------
+    def _bucket(self, n: int) -> int:
+        for b in self.cfg.batch_buckets:
+            if n <= b:
+                return b
+        return int(2 ** int(np.ceil(np.log2(n))))
+
+    def _preprocess_images(self, images: Sequence[ImageInput]) -> np.ndarray:
+        size = self.model.config.image_size
+        out = np.empty((len(images), size, size, 3), np.uint8)
+        for i, im in enumerate(images):
+            if isinstance(im, bytes):
+                out[i] = preprocess_image_bytes(im, size)
+            else:
+                out[i] = to_uint8(resize_image(load_image(im), size))
+        return out
+
+    def predict_batch_raw(
+        self,
+        images: Sequence[ImageInput],
+        questions: Sequence[str],
+    ) -> np.ndarray:
+        """Batched probabilities [N, num_answers] via the bucket-padded
+        jitted forward. The serving hot path."""
+        self._ensure_loaded()
+        n = len(images)
+        bucket = self._bucket(n)
+        pixels = self._preprocess_images(images)
+        ids, mask = self.tokenizer.encode_batch_np(list(questions))
+        if bucket > n:
+            pad = bucket - n
+            pixels = np.concatenate([pixels, np.repeat(pixels[:1], pad, 0)])
+            ids = np.concatenate([ids, np.repeat(ids[:1], pad, 0)])
+            mask = np.concatenate([mask, np.repeat(mask[:1], pad, 0)])
+        probs = self._forward(
+            self.variables,
+            jnp.asarray(pixels),
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+        )
+        return np.asarray(probs[:n], np.float32)
+
+    def _format_result(
+        self, question: str, probs: np.ndarray, top_k: int
+    ) -> Dict[str, Any]:
+        top_idx = np.argsort(-probs)[:top_k]
+        answers = [
+            {
+                "answer": self.answer_vocab.decode(int(i)),
+                "probability": float(probs[i]),
+                "index": int(i),
+            }
+            for i in top_idx
+        ]
+        return {
+            "question": question,
+            "answers": answers,
+            "top_answer": answers[0]["answer"],
+            "confidence": answers[0]["probability"],
+        }
+
+    def predict(
+        self,
+        image: ImageInput,
+        question: str,
+        top_k: Optional[int] = None,
+    ) -> Dict[str, Any]:
+        """Single prediction (reference: api/inference.py:195-253)."""
+        top_k = top_k or self.cfg.top_k
+        probs = self.predict_batch_raw([image], [question])[0]
+        return self._format_result(question, probs, top_k)
+
+    def predict_batch(
+        self,
+        images: Sequence[ImageInput],
+        questions: Sequence[str],
+        top_k: Optional[int] = None,
+    ) -> List[Dict[str, Any]]:
+        """Batch prediction (reference: api/inference.py:255-323)."""
+        top_k = top_k or self.cfg.top_k
+        probs = self.predict_batch_raw(images, questions)
+        return [
+            self._format_result(q, p, top_k) for q, p in zip(questions, probs)
+        ]
+
+    def get_model_info(self) -> Dict[str, Any]:
+        """(reference: api/inference.py:325-338)"""
+        self._ensure_loaded()
+        from vqa_tpu.models import count_parameters
+
+        cfg = self.model.config
+        return {
+            "model_loaded": self.model_loaded_from_checkpoint,
+            "embed_dim": cfg.embed_dim,
+            "num_answers": cfg.num_answers,
+            "vocab_size": cfg.vocab_size,
+            "max_question_length": cfg.max_question_length,
+            "image_size": cfg.image_size,
+            "parameters": count_parameters(self.variables),
+            "backend": jax.default_backend(),
+        }
+
+
+_ENGINE: Optional[VQAInference] = None
+_ENGINE_LOCK = threading.Lock()
+
+
+def get_inference_engine(
+    checkpoint_dir: Optional[str] = None, **kwargs
+) -> VQAInference:
+    """Lazy singleton (reference: api/inference.py:341-358)."""
+    global _ENGINE
+    if _ENGINE is None:
+        with _ENGINE_LOCK:
+            if _ENGINE is None:
+                _ENGINE = VQAInference(checkpoint_dir=checkpoint_dir, **kwargs)
+                _ENGINE.load()
+    return _ENGINE
+
+
+def reset_engine() -> None:
+    global _ENGINE
+    _ENGINE = None

@@ -1,0 +1,81 @@
+"""Optional FastAPI/ASGI adapter — same contract as serving/server.py.
+
+FastAPI is not baked into this image, so this module is import-gated: it
+reuses VQAServer's transport-independent handlers when fastapi IS available
+(e.g., a production deployment), exposing the identical endpoint surface
+(reference: api/main.py:74-321).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+try:
+    from fastapi import FastAPI, File, Form, UploadFile
+    from fastapi.middleware.cors import CORSMiddleware
+
+    HAS_FASTAPI = True
+except ImportError:  # pragma: no cover - not in this image
+    HAS_FASTAPI = False
+
+
+def create_app(checkpoint_dir: Optional[str] = None):
+    if not HAS_FASTAPI:
+        raise ImportError(
+            "fastapi is not installed; use vqa_tpu.serving.server (stdlib) "
+            "which exposes the same endpoints"
+        )
+    from vqa_tpu.serving.server import VQAServer
+
+    server = VQAServer(checkpoint_dir=checkpoint_dir)
+    app = FastAPI(title="VQA API", version="1.0.0")
+    app.add_middleware(
+        CORSMiddleware,
+        allow_origins=["*"],
+        allow_credentials=True,
+        allow_methods=["*"],
+        allow_headers=["*"],
+    )
+
+    @app.get("/")
+    async def root():
+        return server.handle_get("/")[1]
+
+    @app.get("/health")
+    async def health():
+        return server.handle_get("/health")[1]
+
+    @app.get("/model-info")
+    async def model_info():
+        return server.handle_get("/model-info")[1]
+
+    @app.get("/metrics")
+    async def metrics():
+        return server.handle_get("/metrics")[1]
+
+    @app.post("/predict")
+    async def predict(
+        image: UploadFile = File(...),
+        question: str = Form(...),
+        top_k: int = Form(5),
+    ):
+        data = await image.read()
+        fields = {
+            "image": [(image.filename, data)],
+            "question": [(None, question.encode())],
+            "top_k": [(None, str(top_k).encode())],
+        }
+        return server.handle_predict(fields)[1]
+
+    @app.post("/predict-batch")
+    async def predict_batch(
+        images: List[UploadFile] = File(...),
+        questions: str = Form(...),
+    ):
+        fields = {
+            "images": [(im.filename, await im.read()) for im in images],
+            "questions": [(None, questions.encode())],
+        }
+        return server.handle_predict_batch(fields)[1]
+
+    return app

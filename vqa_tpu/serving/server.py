@@ -1,0 +1,292 @@
+"""HTTP serving layer — same contract as the reference FastAPI app.
+
+Implements the reference's five endpoints and response schemas
+(reference: api/main.py:74-321):
+
+    GET  /              index JSON
+    GET  /health        {"status", "model_loaded"}
+    GET  /model-info    {"device", "vocab_size", "num_answers", "total_parameters"}
+    POST /predict       multipart image+question+top_k → PredictionResponse
+    POST /predict-batch N images + comma-separated questions
+    GET  /metrics       serving latency counters (new: p50/p99 observability)
+
+Exceptions become ``success:false`` payloads, not 500s, exactly like the
+reference (api/main.py:211-221). Permissive CORS headers for the frontend.
+
+Built on the stdlib ``ThreadingHTTPServer`` (FastAPI is not in this image;
+``vqa_tpu.serving.fastapi_app`` provides an ASGI adapter gated on import).
+Concurrent requests funnel through the MicroBatcher so the TPU sees one
+bucket-padded forward per group — the serving improvement over the
+reference's one-forward-per-request design.
+
+Also serves the static frontend from ``frontend/`` at ``/app``.
+"""
+
+from __future__ import annotations
+
+import json
+import mimetypes
+import os
+import re
+import threading
+from email.parser import BytesParser
+from email.policy import HTTP
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional, Tuple
+
+from vqa_tpu.data.preprocess import validate_question
+from vqa_tpu.serving.batcher import MicroBatcher
+from vqa_tpu.serving.engine import VQAInference
+from vqa_tpu.utils.config import InferenceConfig
+
+_FRONTEND_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "frontend",
+)
+
+INDEX_PAYLOAD = {
+    "name": "VQA API",
+    "version": "1.0.0",
+    "description": "TPU-native Visual Question Answering System",
+    "endpoints": {
+        "predict": "POST /predict - Submit image and question",
+        "predict-batch": "POST /predict-batch - Batched submission",
+        "health": "GET /health - Health check",
+        "model-info": "GET /model-info - Model information",
+        "metrics": "GET /metrics - Serving latency stats",
+        "app": "GET /app - Web frontend",
+    },
+}
+
+
+def parse_multipart(content_type: str, body: bytes) -> Dict[str, List[Tuple[Optional[str], bytes]]]:
+    """Parse multipart/form-data → {field: [(filename|None, value_bytes)]}."""
+    msg = BytesParser(policy=HTTP).parsebytes(
+        b"Content-Type: " + content_type.encode() + b"\r\n\r\n" + body
+    )
+    fields: Dict[str, List[Tuple[Optional[str], bytes]]] = {}
+    if not msg.is_multipart():
+        return fields
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if name is None:
+            continue
+        filename = part.get_filename()
+        payload = part.get_payload(decode=True) or b""
+        fields.setdefault(name, []).append((filename, payload))
+    return fields
+
+
+class VQAServer:
+    """Owns the engine + micro-batcher and the HTTP server instance."""
+
+    def __init__(
+        self,
+        checkpoint_dir: Optional[str] = None,
+        config: Optional[InferenceConfig] = None,
+        engine: Optional[VQAInference] = None,
+        preload: bool = True,
+    ):
+        self.cfg = config or InferenceConfig()
+        self.engine = engine or VQAInference(
+            checkpoint_dir=checkpoint_dir, config=self.cfg
+        )
+        if preload:  # startup preload (reference: api/main.py:270-280),
+            # plus bucket warm-up so the first burst never hits a compile
+            self.engine.warmup()
+        self.batcher = MicroBatcher(
+            self.engine,
+            max_batch_size=self.cfg.max_batch_size,
+            batch_timeout_ms=self.cfg.batch_timeout_ms,
+        )
+        self._httpd: Optional[ThreadingHTTPServer] = None
+
+    # ------------------------------------------------------------------
+    # request handling (transport-independent, reused by the ASGI adapter)
+    # ------------------------------------------------------------------
+    def handle_get(self, path: str) -> Tuple[int, Any]:
+        if path == "/" or path == "":
+            return 200, INDEX_PAYLOAD
+        if path == "/health":
+            return 200, {
+                "status": "healthy",
+                "model_loaded": self.engine.model_loaded_from_checkpoint,
+            }
+        if path == "/model-info":
+            info = self.engine.get_model_info()
+            return 200, {
+                "device": info["backend"],
+                "vocab_size": info["vocab_size"],
+                "num_answers": info["num_answers"],
+                "total_parameters": info["parameters"]["total"],
+                **info,
+            }
+        if path == "/metrics":
+            return 200, self.batcher.latency_stats()
+        return 404, {"detail": "Not Found"}
+
+    def handle_predict(self, fields) -> Tuple[int, Any]:
+        """POST /predict (reference: api/main.py:159-221)."""
+        question = ""
+        try:
+            images = fields.get("image", [])
+            if not images:
+                return 400, {"detail": "image file is required"}
+            filename, image_bytes = images[0]
+            qs = fields.get("question", [])
+            question = qs[0][1].decode("utf-8", "replace").strip() if qs else ""
+            ok, err = validate_question(question, min_words=2)
+            if not ok:
+                return 400, {"detail": err}
+            if filename and not _looks_like_image(filename, image_bytes):
+                return 400, {"detail": "File must be an image"}
+            top_k = int(fields.get("top_k", [(None, b"5")])[0][1] or 5)
+
+            result = self.batcher.submit(image_bytes, question, top_k)
+            return 200, {**result, "success": True, "error": None}
+        except Exception as e:  # success:false payload, not a 500
+            return 200, {
+                "question": question,
+                "top_answer": "",
+                "confidence": 0.0,
+                "answers": [],
+                "success": False,
+                "error": str(e),
+            }
+
+    def handle_predict_batch(self, fields) -> Tuple[int, Any]:
+        """POST /predict-batch (reference: api/main.py:224-267)."""
+        try:
+            images = fields.get("images", []) or fields.get("image", [])
+            qs_raw = fields.get("questions", [])
+            questions = (
+                [q.strip() for q in qs_raw[0][1].decode("utf-8", "replace").split(",")]
+                if qs_raw
+                else []
+            )
+            if len(images) != len(questions):
+                return 400, {
+                    "detail": f"Number of images ({len(images)}) must match "
+                    f"number of questions ({len(questions)})"
+                }
+            results = self.engine.predict_batch(
+                [b for _, b in images], questions
+            )
+            return 200, {"success": True, "predictions": results}
+        except Exception as e:
+            return 500, {"detail": str(e)}
+
+    # ------------------------------------------------------------------
+    def serve(self, host: str = "0.0.0.0", port: int = 8000):
+        """Run the threaded HTTP server (reference: api/main.py:293-321)."""
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def _send(self, status: int, payload: Any, content_type="application/json"):
+                body = (
+                    json.dumps(payload).encode()
+                    if content_type == "application/json"
+                    else payload
+                )
+                self.send_response(status)
+                self.send_header("Content-Type", content_type)
+                self.send_header("Content-Length", str(len(body)))
+                # permissive CORS (reference: api/main.py:83-89)
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Access-Control-Allow-Methods", "*")
+                self.send_header("Access-Control-Allow-Headers", "*")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, fmt, *args):
+                pass  # quiet
+
+            def do_OPTIONS(self):
+                self._send(204, b"", content_type="text/plain")
+
+            def do_GET(self):
+                path = self.path.split("?")[0]
+                if path == "/app" or path.startswith("/app/"):
+                    return self._serve_static(path)
+                status, payload = server.handle_get(path)
+                self._send(status, payload)
+
+            def _serve_static(self, path: str):
+                rel = path[len("/app") :].lstrip("/") or "index.html"
+                full = os.path.normpath(os.path.join(_FRONTEND_DIR, rel))
+                if not full.startswith(_FRONTEND_DIR) or not os.path.isfile(full):
+                    return self._send(404, {"detail": "Not Found"})
+                ctype = mimetypes.guess_type(full)[0] or "application/octet-stream"
+                with open(full, "rb") as f:
+                    self._send(200, f.read(), content_type=ctype)
+
+            def do_POST(self):
+                path = self.path.split("?")[0]
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                ctype = self.headers.get("Content-Type", "")
+                if "multipart/form-data" not in ctype:
+                    return self._send(400, {"detail": "multipart/form-data required"})
+                fields = parse_multipart(ctype, body)
+                if path == "/predict":
+                    status, payload = server.handle_predict(fields)
+                elif path == "/predict-batch":
+                    status, payload = server.handle_predict_batch(fields)
+                else:
+                    status, payload = 404, {"detail": "Not Found"}
+                self._send(status, payload)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        print(f"[API] serving on http://{host}:{port} (frontend at /app)")
+        try:
+            self._httpd.serve_forever()
+        finally:
+            self._httpd.server_close()
+
+    def shutdown(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()
+        self.batcher.shutdown()
+
+
+def _looks_like_image(filename: str, data: bytes) -> bool:
+    if re.search(r"\.(jpe?g|png|gif|bmp|webp)$", filename, re.I):
+        return True
+    return data[:2] in (b"\xff\xd8", b"\x89P") or data[:4] == b"GIF8"
+
+
+def main(argv=None):
+    import argparse
+
+    from vqa_tpu.utils.cache import enable_compilation_cache
+    from vqa_tpu.utils.config import ModelConfig, PATHS
+
+    enable_compilation_cache()
+    p = argparse.ArgumentParser(description="VQA serving")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random model (smoke/demo)")
+    args = p.parse_args(argv)
+
+    model_config = None
+    if args.tiny:
+        model_config = ModelConfig(
+            vocab_size=1000, embed_dim=32, num_answers=16,
+            num_transformer_layers=1, num_attention_heads=2,
+            ffn_hidden_dim=64, max_question_length=8, image_size=64,
+            base_channels=8, stage_channels=(8, 16, 32, 64),
+            feature_spatial_size=2,
+        )
+    engine = VQAInference(
+        checkpoint_dir=args.checkpoint_dir or PATHS.checkpoint_dir,
+        model_config=model_config,
+    )
+    VQAServer(engine=engine).serve(args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,36 @@ def to_uint8(img: Image.Image) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
+def resize_to_uint8(image: ImageInput, size: int) -> np.ndarray:
+    """Decode → RGB → bilinear resize (size,size) → [H,W,3] u8.
+
+    Uses the native C++ resampler (vqa_tpu.native, bit-identical to PIL
+    BILINEAR — asserted in tests/test_native.py) when available, else PIL.
+    """
+    from vqa_tpu import native
+
+    pil = load_image(image)
+    if native.available():
+        return native.resize_bilinear(np.asarray(pil, np.uint8), size, size)
+    return to_uint8(resize_image(pil, size))
+
+
+def resize_batch_to_uint8(images: Sequence[ImageInput], size: int) -> np.ndarray:
+    """Decode + resize a batch → [N,size,size,3] u8; the native path resizes
+    across a thread pool (serving/data-loading hot path)."""
+    from vqa_tpu import native
+
+    pils = [load_image(im) for im in images]
+    if native.available():
+        return native.resize_bilinear_batch(
+            [np.asarray(p, np.uint8) for p in pils], size, size
+        )
+    out = np.empty((len(pils), size, size, 3), np.uint8)
+    for i, p in enumerate(pils):
+        out[i] = to_uint8(resize_image(p, size))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Normalization — host path (parity) and values for the device path
 # ---------------------------------------------------------------------------

@@ -28,10 +28,7 @@ import numpy as np
 from vqa_tpu.data.preprocess import (
     ImageInput,
     device_normalize,
-    preprocess_image_bytes,
-    resize_image,
-    load_image,
-    to_uint8,
+    resize_batch_to_uint8,
     validate_question,
 )
 from vqa_tpu.data.vocab import AnswerVocabulary
@@ -191,14 +188,9 @@ class VQAInference:
         return int(2 ** int(np.ceil(np.log2(n))))
 
     def _preprocess_images(self, images: Sequence[ImageInput]) -> np.ndarray:
-        size = self.model.config.image_size
-        out = np.empty((len(images), size, size, 3), np.uint8)
-        for i, im in enumerate(images):
-            if isinstance(im, bytes):
-                out[i] = preprocess_image_bytes(im, size)
-            else:
-                out[i] = to_uint8(resize_image(load_image(im), size))
-        return out
+        # decode (PIL) + resize (native C++ thread pool when available;
+        # bit-identical to PIL bilinear) → [N, S, S, 3] u8
+        return resize_batch_to_uint8(images, self.model.config.image_size)
 
     def predict_batch_raw(
         self,

@@ -259,6 +259,7 @@ def _looks_like_image(filename: str, data: bytes) -> bool:
 
 def main(argv=None):
     import argparse
+    import os
 
     from vqa_tpu.utils.cache import enable_compilation_cache
     from vqa_tpu.utils.config import ModelConfig, PATHS
@@ -270,7 +271,16 @@ def main(argv=None):
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--tiny", action="store_true",
                    help="tiny random model (smoke/demo)")
+    p.add_argument("--platform", default=os.environ.get("JAX_PLATFORMS") or None,
+                   help="force a jax platform (e.g. cpu). Applied via the "
+                        "config API because out-of-tree PJRT plugins (axon) "
+                        "ignore the JAX_PLATFORMS env var.")
     args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     model_config = None
     if args.tiny:

@@ -124,3 +124,12 @@ def main():
 
 if __name__ == "__main__":
     main()
+    # The axon PJRT tunnel can hang the interpreter on teardown; the JSON
+    # line is already flushed, so exit hard rather than risk the driver
+    # timing out waiting on atexit.
+    import os
+    import sys
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)

@@ -1,0 +1,61 @@
+"""Profiling/observability subsystem tests (vqa_tpu/utils/profiling.py).
+
+The reference has no tracing at all (SURVEY.md §5); these cover the
+TPU-native replacement: trace annotations, fenced step timing, and the
+TensorBoard trace dump used by ``train.py --profile-dir``.
+"""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+
+from vqa_tpu.utils.profiling import (
+    Profiler,
+    StepTimer,
+    annotate,
+    maybe_trace,
+    percentile_summary,
+    step_annotation,
+)
+
+
+def test_annotations_are_safe_noops_outside_trace():
+    with annotate("region"):
+        with step_annotation("step", 3):
+            x = jnp.ones((4,)) * 2
+    assert float(x.sum()) == 8.0
+
+
+def test_step_timer_fences_and_summarizes():
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((64, 64))
+    timer = StepTimer()
+    for _ in range(5):
+        with timer.step(items=32) as s:
+            s.result = f(x)
+    out = timer.summary()
+    assert out["count"] == 5
+    assert out["p50_ms"] > 0
+    assert out["p99_ms"] >= out["p50_ms"]
+    assert out["items_per_sec"] > 0
+    timer.reset()
+    assert timer.summary() == {"count": 0}
+
+
+def test_percentile_summary_empty():
+    assert percentile_summary([]) == {"count": 0}
+
+
+def test_profiler_writes_trace(tmp_path):
+    logdir = str(tmp_path / "trace")
+    with Profiler(logdir):
+        jax.block_until_ready(jax.jit(lambda x: x * 2)(jnp.ones((8,))))
+    dumped = glob.glob(os.path.join(logdir, "**", "*"), recursive=True)
+    assert dumped, "profiler produced no trace files"
+
+
+def test_maybe_trace_none_is_noop():
+    with maybe_trace(None):
+        pass

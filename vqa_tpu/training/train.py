@@ -43,6 +43,7 @@ from vqa_tpu.parallel.mesh import (
 from vqa_tpu.training import checkpoint as ckpt_lib
 from vqa_tpu.utils.config import ModelConfig, TrainingConfig
 from vqa_tpu.utils.metrics import AverageMeter, MetricsLogger
+from vqa_tpu.utils.profiling import StepTimer, maybe_trace, step_annotation
 
 
 class TrainState(train_state.TrainState):
@@ -165,6 +166,7 @@ class Trainer:
         checkpoint_dir: Optional[str] = None,
         save_checkpoints: bool = True,
         seed: int = 42,
+        profile_dir: Optional[str] = None,
     ):
         self.model = model
         self.cfg = config or TrainingConfig()
@@ -202,24 +204,40 @@ class Trainer:
         self.logger = MetricsLogger()
         self.start_epoch = 0
         self.best_val_accuracy = 0.0
+        # observability (SURVEY.md §5 — the reference has none): a trace of
+        # the first trained epoch is dumped to profile_dir when set; the
+        # fenced StepTimer only runs under profiling so the default path
+        # keeps its no-per-step-sync pipelining.
+        self.profile_dir = profile_dir
+        self.step_timer = StepTimer()
 
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         loss_sum, c1, c5, n = 0.0, 0, 0, 0
         device_metrics = []
+        # fenced per-step timing only while a trace is active — the default
+        # path must not block per step or the dispatch pipeline stalls
+        profiling = bool(self.profile_dir) and epoch == self.start_epoch
+        step_no = 0
         for batch in prefetch_to_device(
             self.train_loader, sharding=self.batch_sharding
         ):
-            self.state, m = self.train_step(
-                self.state,
-                batch["image"],
-                batch["token_ids"],
-                batch["attention_mask"],
-                batch["answer"],
-                self.rng,
-            )
+            bs = int(np.shape(batch["answer"])[0])
+            with step_annotation("train", step_no):
+                self.state, m = self.train_step(
+                    self.state,
+                    batch["image"],
+                    batch["token_ids"],
+                    batch["attention_mask"],
+                    batch["answer"],
+                    self.rng,
+                )
+            if profiling:
+                with self.step_timer.step(items=bs) as s:
+                    s.result = m
             device_metrics.append(m)
-            n += int(np.shape(batch["answer"])[0])
+            n += bs
+            step_no += 1
         # single host sync at epoch end
         for m in device_metrics:
             loss_sum += float(m["loss"])
@@ -305,7 +323,16 @@ class Trainer:
         try:
             for epoch in range(self.start_epoch, self.cfg.num_epochs):
                 t0 = time.time()
-                train_metrics = self.train_epoch(epoch)
+                trace_dir = (
+                    self.profile_dir if epoch == self.start_epoch else None
+                )
+                with maybe_trace(trace_dir):
+                    train_metrics = self.train_epoch(epoch)
+                if trace_dir:
+                    print(
+                        f"[Trainer] trace → {trace_dir}; "
+                        f"step time {self.step_timer.summary()}"
+                    )
                 val_metrics = self.validate()
                 lr = float(self.schedule(int(self.state.step)))
                 metrics = {**train_metrics, **val_metrics, "lr": lr}
@@ -367,6 +394,9 @@ def parse_args(argv=None):
     p.add_argument("--no-save", action="store_true")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--profile-dir", default=None,
+                   help="dump a TensorBoard device trace of the first "
+                        "trained epoch to this directory")
     return p.parse_args(argv)
 
 
@@ -460,6 +490,7 @@ def main(argv=None):
         checkpoint_dir=ckpt_dir,
         save_checkpoints=not args.no_save,
         seed=tcfg.seed,
+        profile_dir=args.profile_dir,
     )
     if args.resume:
         trainer.resume(args.resume)

@@ -1,0 +1,166 @@
+"""Tracing / profiling subsystem — the TPU-native observability layer.
+
+The reference has no profiling at all: progress is tqdm bars and
+``time.time()`` epoch stamps (reference: training/train.py:166,339-354;
+SURVEY.md §5 "Tracing / profiling: none"). On TPU, wall-clock timing
+without fencing is meaningless — JAX dispatch is async, so a step
+"returns" before the device has run it. This module provides the three
+pieces the rebuild uses instead:
+
+- :func:`annotate` / :func:`step_annotation` — named trace annotations
+  that show up on the TensorBoard trace viewer timeline (XLA/TPU traces).
+- :func:`start_trace` / :func:`stop_trace` / :class:`Profiler` — dump a
+  TensorBoard-viewable device trace for a window of steps.
+- :class:`StepTimer` — correctly fenced per-step wall timing
+  (``block_until_ready`` on exit) with p50/p99 and items/sec summaries,
+  the counters BASELINE.json cares about.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+__all__ = [
+    "annotate",
+    "step_annotation",
+    "start_trace",
+    "stop_trace",
+    "Profiler",
+    "StepTimer",
+    "percentile_summary",
+]
+
+
+def annotate(name: str):
+    """Named trace annotation context manager.
+
+    Inside an active profiler trace, the region shows up on the TensorBoard
+    timeline under ``name``. Outside a trace it is a few-ns no-op, so it is
+    safe to leave in production paths.
+    """
+    try:
+        return jax.profiler.TraceAnnotation(name)
+    except Exception:  # pragma: no cover - profiler backend unavailable
+        return contextlib.nullcontext()
+
+
+def step_annotation(name: str, step: int):
+    """Step-scoped trace annotation (groups work by training step in the
+    trace viewer's step-time analysis)."""
+    try:
+        return jax.profiler.StepTraceAnnotation(name, step_num=step)
+    except Exception:  # pragma: no cover
+        return contextlib.nullcontext()
+
+
+def start_trace(logdir: str) -> None:
+    """Begin a device+host trace; view with TensorBoard's profile plugin."""
+    jax.profiler.start_trace(logdir)
+
+
+def stop_trace() -> None:
+    jax.profiler.stop_trace()
+
+
+class Profiler:
+    """Context manager tracing a window of work into ``logdir``.
+
+    >>> with Profiler("/tmp/trace"):
+    ...     out = train_step(...)
+    ...     jax.block_until_ready(out)
+    """
+
+    def __init__(self, logdir: str):
+        self.logdir = logdir
+
+    def __enter__(self):
+        start_trace(self.logdir)
+        return self
+
+    def __exit__(self, *exc):
+        stop_trace()
+        return False
+
+
+def percentile_summary(values_ms: List[float]) -> Dict[str, float]:
+    """mean/p50/p99 over a list of millisecond samples."""
+    if not values_ms:
+        return {"count": 0}
+    arr = np.asarray(values_ms, dtype=np.float64)
+    return {
+        "count": int(arr.size),
+        "mean_ms": float(arr.mean()),
+        "p50_ms": float(np.percentile(arr, 50)),
+        "p99_ms": float(np.percentile(arr, 99)),
+        "min_ms": float(arr.min()),
+        "max_ms": float(arr.max()),
+    }
+
+
+class StepTimer:
+    """Fenced per-step timer: measures true device step time, not dispatch.
+
+    Usage::
+
+        timer = StepTimer()
+        for batch in loader:
+            with timer.step(items=len(batch)) as s:
+                s.result = train_step(state, batch)   # fenced on exit
+
+    On ``__exit__`` the timer calls ``jax.block_until_ready`` on whatever
+    was assigned to ``s.result`` (skipped if nothing was assigned), so the
+    recorded interval covers actual device execution. ``summary()`` returns
+    mean/p50/p99 step time plus items/sec throughput.
+    """
+
+    class _Step:
+        __slots__ = ("result",)
+
+        def __init__(self):
+            self.result: Any = None
+
+    def __init__(self, max_samples: int = 100_000):
+        self._times_ms: List[float] = []
+        self._items = 0
+        self._max = max_samples
+
+    @contextlib.contextmanager
+    def step(self, items: int = 1):
+        s = StepTimer._Step()
+        t0 = time.perf_counter()
+        try:
+            yield s
+        finally:
+            if s.result is not None:
+                jax.block_until_ready(s.result)
+            self._times_ms.append((time.perf_counter() - t0) * 1000.0)
+            self._items += items
+            if len(self._times_ms) > self._max:
+                self._times_ms = self._times_ms[-self._max // 2:]
+
+    def reset(self) -> None:
+        self._times_ms = []
+        self._items = 0
+
+    def summary(self) -> Dict[str, float]:
+        out = percentile_summary(self._times_ms)
+        total_s = sum(self._times_ms) / 1000.0
+        if total_s > 0:
+            out["items_per_sec"] = float(self._items / total_s)
+        return out
+
+
+@contextlib.contextmanager
+def maybe_trace(logdir: Optional[str]):
+    """Trace into ``logdir`` when set; otherwise a no-op. Lets CLI flags
+    like ``--profile-dir`` gate tracing without branching at call sites."""
+    if logdir:
+        with Profiler(logdir):
+            yield
+    else:
+        yield

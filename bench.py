@@ -55,7 +55,9 @@ def main():
         return logits
 
     rng = np.random.default_rng(0)
-    batch_sizes = args.batches or ([32, 128] if args.quick else [1, 8, 32, 128, 256, 512])
+    batch_sizes = args.batches or (
+        [32, 128] if args.quick else [1, 8, 32, 128, 256, 512, 1024]
+    )
     warmup = 2 if args.quick else 3
     chain = 5 if args.quick else 20  # pipelined dispatches between fetches
     reps = 2 if args.quick else 3

@@ -27,6 +27,9 @@ def main():
     p.add_argument("--quick", action="store_true", help="fewer timed iters")
     p.add_argument("--batches", type=int, nargs="*", default=None)
     p.add_argument("--f32", action="store_true", help="disable bf16 compute")
+    p.add_argument("--s2d", action="store_true",
+                   help="space-to-depth stem execution plan (measured ~4%% "
+                        "slower than XLA's native stem handling on this chip)")
     args = p.parse_args()
 
     from vqa_tpu.utils.cache import enable_compilation_cache
@@ -43,7 +46,7 @@ def main():
     on_tpu = backend != "cpu"
     dtype = jnp.bfloat16 if (on_tpu and not args.f32) else jnp.float32
 
-    model = create_vqa_model(dtype=dtype)  # full-size flagship
+    model = create_vqa_model(dtype=dtype, stem_s2d=args.s2d)  # full-size flagship
     variables = init_vqa_model(model, jax.random.PRNGKey(0))
 
     @jax.jit

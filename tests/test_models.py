@@ -259,3 +259,27 @@ def test_full_size_param_count_matches_reference():
     assert c["text_encoder"] == 5_715_456
     assert c["fusion"] == 1_854_720
     assert c["answer_head"] == 519_912
+
+
+def test_stem_s2d_exact_equivalence():
+    """Space-to-depth stem is the same math as the 7x7/2 conv: identical
+    params, near-identical outputs (f32 summation-order tolerance only)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vqa_tpu.models.cnn_backbone import StemConv
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    )
+    std = StemConv(16, s2d=False)
+    s2d = StemConv(16, s2d=True)
+    variables = std.init(rng, x)
+    y0 = jax.jit(std.apply)(variables, x)
+    y1 = jax.jit(s2d.apply)(variables, x)  # same param tree
+    assert y0.shape == y1.shape == (2, 16, 16, 16)
+    err = float(jnp.max(jnp.abs(y0 - y1)))
+    print(f"s2d stem max abs err: {err:.2e}")
+    assert err < 1e-5

@@ -63,6 +63,7 @@ class VQAModel(nn.Module):
 
     config: ModelConfig
     use_pallas_cross_attention: bool = False
+    stem_s2d: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -83,6 +84,7 @@ class VQAModel(nn.Module):
             use_se=cfg.use_se_attention,
             use_spatial=cfg.use_spatial_attention,
             se_reduction=cfg.se_reduction,
+            stem_s2d=self.stem_s2d,
             dtype=self.dtype,
             name="image_encoder",
         )(images, train)
@@ -146,12 +148,15 @@ def create_vqa_model(
     use_attention: Optional[bool] = None,
     dtype: jnp.dtype = jnp.float32,
     use_pallas_cross_attention: bool = False,
+    stem_s2d: bool = False,
     **overrides,
 ) -> VQAModel:
     """Factory mirroring the reference's (models/vqa_model.py:383-407).
 
     ``use_attention=False`` disables both SE and spatial attention (the
-    ``--no-attention`` ablation).
+    ``--no-attention`` ablation). ``stem_s2d`` switches the stem conv to the
+    space-to-depth execution plan (same parameters, same math — see
+    ``StemConv``).
     """
     import dataclasses
 
@@ -165,7 +170,8 @@ def create_vqa_model(
             use_spatial_attention=use_attention,
         )
     return VQAModel(config=cfg, dtype=dtype,
-                    use_pallas_cross_attention=use_pallas_cross_attention)
+                    use_pallas_cross_attention=use_pallas_cross_attention,
+                    stem_s2d=stem_s2d)
 
 
 def init_vqa_model(

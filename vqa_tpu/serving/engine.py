@@ -76,6 +76,10 @@ class VQAInference:
             dtype = (
                 jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
             )
+        # space-to-depth stem (models.cnn_backbone.StemConv) measured ~4%
+        # slower than XLA's native stem handling on TPU — keep it off; the
+        # plan stays available via create_vqa_model(stem_s2d=True)
+        s2d = False
 
         # ---- model: checkpoint → torch .pth → random default -----------
         loaded = False
@@ -86,7 +90,9 @@ class VQAInference:
                 model, variables = ckpt_lib.load_model_for_inference(
                     self.checkpoint_dir, self.checkpoint_name
                 )
-                self.model = create_vqa_model(config=model.config, dtype=dtype)
+                self.model = create_vqa_model(
+                    config=model.config, dtype=dtype, stem_s2d=s2d
+                )
                 self.variables = variables
                 loaded = True
                 print(f"[Inference] loaded checkpoint {self.checkpoint_name}")
@@ -96,7 +102,9 @@ class VQAInference:
                     from vqa_tpu.compat.torch_import import load_torch_checkpoint
 
                     variables, mcfg = load_torch_checkpoint(pth)
-                    self.model = create_vqa_model(config=mcfg, dtype=dtype)
+                    self.model = create_vqa_model(
+                        config=mcfg, dtype=dtype, stem_s2d=s2d
+                    )
                     self.variables = variables
                     loaded = True
                     print(f"[Inference] imported PyTorch checkpoint {pth}")
@@ -104,7 +112,7 @@ class VQAInference:
             # random default model (reference: api/inference.py:96-102)
             print("[Inference] no checkpoint — using randomly initialized model")
             mcfg = self._model_config or ModelConfig()
-            self.model = create_vqa_model(config=mcfg, dtype=dtype)
+            self.model = create_vqa_model(config=mcfg, dtype=dtype, stem_s2d=s2d)
             self.variables = init_vqa_model(self.model, jax.random.PRNGKey(0))
         self.model_loaded_from_checkpoint = loaded
 

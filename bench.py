@@ -22,9 +22,86 @@ import time
 import numpy as np
 
 
+def bench_train(args):
+    """Training-throughput mode (BASELINE config #4): full-size model,
+    one jitted fwd+CE+bwd+update+BN-EMA program, synthetic data.
+
+    Baseline: the reference README claims 30 epochs x 20k pairs in ~2-4h on
+    an >=8GB GPU (reference: README.md:69,216,250) -> ~55.6 pairs/s at the
+    3h midpoint. The reference publishes nothing more precise (SURVEY.md §6).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vqa_tpu.models import create_vqa_model, init_vqa_model
+    from vqa_tpu.training.train import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+    from vqa_tpu.utils.config import TrainingConfig
+
+    backend = jax.default_backend()
+    dtype = jnp.bfloat16 if (backend != "cpu" and not args.f32) else jnp.float32
+    model = create_vqa_model(dtype=dtype)
+    variables = init_vqa_model(model, jax.random.PRNGKey(0))
+    tx, _ = make_optimizer(TrainingConfig(), steps_per_epoch=100)
+    train_step = make_train_step(model)
+
+    rng = np.random.default_rng(0)
+    results = {}
+    best, best_batch = 0.0, 0
+    chain = 3 if args.quick else 10
+    reps = 2 if args.quick else 3
+    for b in args.batches or ([64] if args.quick else [64, 128, 256]):
+        # train_step donates its state, so give each batch size fresh
+        # copies — the originals are deleted after the first step
+        state = TrainState.create(
+            apply_fn=model.apply,
+            params=jax.tree.map(jnp.copy, variables["params"]),
+            tx=tx,
+            batch_stats=jax.tree.map(jnp.copy, variables["batch_stats"]),
+        )
+        imgs = jnp.asarray(
+            rng.normal(size=(b, 224, 224, 3)).astype(np.float32)
+        )
+        ids = jnp.asarray(rng.integers(4, 10000, size=(b, 20)), jnp.int32)
+        mask = jnp.ones((b, 20), jnp.int32)
+        labels = jnp.asarray(rng.integers(0, 1000, size=(b,)), jnp.int32)
+        key = jax.random.PRNGKey(0)
+        for _ in range(2):  # warmup/compile
+            state, m = train_step(state, imgs, ids, mask, labels, key)
+        jax.block_until_ready(m)
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(chain):
+                state, m = train_step(state, imgs, ids, mask, labels, key)
+            jax.block_until_ready(m)
+            _ = float(m["loss"])  # force completion through the tunnel
+            dt = time.perf_counter() - t0
+            best_rep = b * chain / dt
+            results[f"b{b}"] = round(max(results.get(f"b{b}", 0), best_rep), 2)
+        if results[f"b{b}"] > best:
+            best, best_batch = results[f"b{b}"], b
+
+    baseline = 55.6  # pairs/s, reference README 20k x 30 epochs / 3h midpoint
+    print(json.dumps({
+        "metric": "train_pairs_per_sec_per_chip",
+        "value": round(best, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(best / baseline, 2),
+        "best_batch": best_batch,
+        "backend": backend,
+        "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+        "throughput_by_batch": results,
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true", help="fewer timed iters")
+    p.add_argument("--train", action="store_true",
+                   help="benchmark the training step instead of inference")
     p.add_argument("--batches", type=int, nargs="*", default=None)
     p.add_argument("--f32", action="store_true", help="disable bf16 compute")
     p.add_argument("--s2d", action="store_true",
@@ -35,6 +112,9 @@ def main():
     from vqa_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if args.train:
+        return bench_train(args)
 
     import jax
     import jax.numpy as jnp

@@ -337,3 +337,13 @@ def check_data(
     else:
         print(f"[check_data] {usable} usable samples")
     return usable
+
+
+if __name__ == "__main__":  # python -m vqa_tpu.data.dataset <q> <a> <imgdir>
+    import sys
+
+    if len(sys.argv) != 4:
+        print("usage: python -m vqa_tpu.data.dataset "
+              "<questions.json> <annotations.json> <images_dir>")
+        raise SystemExit(2)
+    raise SystemExit(0 if check_data(*sys.argv[1:]) > 0 else 1)

@@ -107,6 +107,8 @@ def main():
     p.add_argument("--s2d", action="store_true",
                    help="space-to-depth stem execution plan (measured ~4%% "
                         "slower than XLA's native stem handling on this chip)")
+    p.add_argument("--pallas", action="store_true",
+                   help="use the fused Pallas cross-attention kernel")
     args = p.parse_args()
 
     from vqa_tpu.utils.cache import enable_compilation_cache
@@ -126,7 +128,11 @@ def main():
     on_tpu = backend != "cpu"
     dtype = jnp.bfloat16 if (on_tpu and not args.f32) else jnp.float32
 
-    model = create_vqa_model(dtype=dtype, stem_s2d=args.s2d)  # full-size flagship
+    model = create_vqa_model(  # full-size flagship
+        dtype=dtype,
+        stem_s2d=args.s2d,
+        use_pallas_cross_attention=args.pallas,
+    )
     variables = init_vqa_model(model, jax.random.PRNGKey(0))
 
     @jax.jit

@@ -9,7 +9,14 @@ This is the TPU-native replacement for the reference's eager
 matmul→softmax→matmul chain (reference: models/cross_attention.py:176-192).
 Flag-gated via ``KernelConfig.use_pallas_cross_attention`` with the XLA
 einsum path as the always-available fallback; numerics are validated
-against the fallback in tests/test_ops.py.
+against the fallback in tests/test_ops.py and bit-exact compiled on real
+TPU hardware (scripts/validate_kernels_tpu.py).
+
+Measured end-to-end (bench.py --pallas, b=1024 bf16): 20.9k vs 24.1k
+pairs/s — the B·H-sized grid of tiny per-slice kernels loses to XLA's
+batched einsum+softmax fusion at these shapes, so the flag defaults OFF.
+The kernel stays as the building block for larger attention shapes where
+the fused-VMEM form wins.
 
 Falls back to interpreter mode automatically off-TPU so tests run on CPU.
 """

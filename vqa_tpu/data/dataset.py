@@ -47,10 +47,16 @@ class VQADataset:
         is_training: bool = True,
         image_size: int = 224,
         seed: int = 42,
+        device_augment: bool = False,
     ):
         self.images_dir = images_dir
         self.is_training = is_training
         self.image_size = image_size
+        # device_augment: training samples come back as uint8 host-resized
+        # (S+32) crop sources; crop/flip/jitter/normalize run on-device in
+        # one XLA program (data.preprocess.device_augment) — the host here
+        # has one core and per-sample host augmentation starves the TPU
+        self.device_augment = device_augment
         self._rng = np.random.default_rng(seed)
 
         with open(questions_path, "r", encoding="utf-8") as f:
@@ -117,7 +123,11 @@ class VQADataset:
 
     def __getitem__(self, idx: int) -> dict:
         s = self.samples[idx]
-        if self.is_training:
+        if self.is_training and self.device_augment:
+            image = preprocess_image(
+                s["image_path"], self.image_size + 32, normalize=False
+            )  # uint8 crop source; augmentation happens on-device
+        elif self.is_training:
             image = augment_image(s["image_path"], self._rng, self.image_size)
         else:
             image = preprocess_image(s["image_path"], self.image_size)
@@ -248,11 +258,14 @@ def create_train_val_loaders(
     num_answers: int = 1000,
     image_size: int = 224,
     seed: int = 42,
+    device_augment: bool = False,
 ) -> Tuple[BatchLoader, BatchLoader, Tokenizer, AnswerVocabulary]:
     """Build train/val loaders with a shared tokenizer + answer vocab
     (reference: data/dataset.py:262-377, minus the triple construction).
 
-    Train indices get augmentation; val uses the deterministic transform.
+    Train indices get augmentation (host-side, or on-device when
+    ``device_augment`` — the Trainer detects the uint8 batches); val uses
+    the deterministic transform.
     """
     base = VQADataset(
         questions_path,
@@ -265,6 +278,7 @@ def create_train_val_loaders(
         is_training=True,
         image_size=image_size,
         seed=seed,
+        device_augment=device_augment,
     )
     # deterministic shuffled 80/20 split (reference: data/dataset.py:315-320)
     rng = np.random.default_rng(seed)

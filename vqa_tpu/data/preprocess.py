@@ -194,6 +194,95 @@ _RGB2YIQ = np.array(
 _YIQ2RGB = np.linalg.inv(_RGB2YIQ).astype(np.float32)
 
 
+def device_augment(
+    pixels_u8,
+    rng,
+    image_size: int = 224,
+    brightness: float = 0.2,
+    contrast: float = 0.2,
+    saturation: float = 0.2,
+    hue: float = 0.1,
+):
+    """Jittable on-device batch twin of :func:`augment_image`.
+
+    The host has one CPU core here, so per-sample host augmentation would
+    starve the TPU; this runs the whole train-time pipeline — random crop
+    (S+32)→S, h-flip p=.5, brightness/contrast/saturation/hue jitter (same
+    factors and fixed order as the host path, YIQ hue rotation), ImageNet
+    normalize — as vectorized device ops inside one XLA program.
+
+    Args:
+        pixels_u8: [B, S+32, S+32, 3] uint8 batch (host-resized only).
+        rng: jax PRNG key (fold in the step number per batch).
+        image_size: S, the output crop size.
+
+    Returns:
+        [B, S, S, 3] float32, ImageNet-normalized.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    b, src, _, _ = pixels_u8.shape
+    max_off = src - image_size
+    k_crop, k_flip, k_b, k_c, k_s, k_h = jax.random.split(rng, 6)
+
+    x = pixels_u8.astype(jnp.float32) * (1.0 / 255.0)
+
+    # random crop: per-sample dynamic_slice under vmap
+    offs = jax.random.randint(k_crop, (b, 2), 0, max_off + 1)
+    x = jax.vmap(
+        lambda img, o: jax.lax.dynamic_slice(
+            img, (o[0], o[1], 0), (image_size, image_size, 3)
+        )
+    )(x, offs)
+
+    # horizontal flip p=.5
+    flip = jax.random.bernoulli(k_flip, 0.5, (b,))
+    x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+
+    # brightness
+    fb = jax.random.uniform(
+        k_b, (b, 1, 1, 1), minval=1 - brightness, maxval=1 + brightness
+    )
+    x = x * fb
+    # contrast: blend with per-image mean
+    fc = jax.random.uniform(
+        k_c, (b, 1, 1, 1), minval=1 - contrast, maxval=1 + contrast
+    )
+    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    x = (x - mean) * fc + mean
+    # saturation: blend with per-pixel grayscale
+    fs = jax.random.uniform(
+        k_s, (b, 1, 1, 1), minval=1 - saturation, maxval=1 + saturation
+    )
+    gray = x @ jnp.asarray([0.299, 0.587, 0.114])
+    x = (x - gray[..., None]) * fs + gray[..., None]
+    # hue: rotate chroma around the luma axis (YIQ), per-sample angle
+    theta = jax.random.uniform(
+        k_h, (b,), minval=-hue, maxval=hue
+    ) * (2 * np.pi)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    one = jnp.ones_like(c)
+    zero = jnp.zeros_like(c)
+    rot = jnp.stack(
+        [
+            jnp.stack([one, zero, zero], -1),
+            jnp.stack([zero, c, -s], -1),
+            jnp.stack([zero, s, c], -1),
+        ],
+        -2,
+    )  # [B, 3, 3]
+    m = jnp.einsum("dc,bce->bde", jnp.asarray(_YIQ2RGB), rot) @ jnp.asarray(
+        _RGB2YIQ
+    )  # combined RGB→RGB per sample
+    x = jnp.einsum("bhwc,bdc->bhwd", x, m)
+
+    x = jnp.clip(x, 0.0, 1.0)
+    return (x - jnp.asarray(IMAGENET_MEAN)) * jnp.asarray(
+        1.0 / IMAGENET_STD
+    )
+
+
 # ---------------------------------------------------------------------------
 # Question utils (reference: data/preprocess.py:234-278)
 # ---------------------------------------------------------------------------

@@ -200,6 +200,16 @@ class Trainer:
         self.train_step = make_train_step(model)
         self.eval_step = make_eval_step(model)
         self.batch_sharding = data_sharding(self.mesh)
+        # on-device augmentation program for uint8 train batches
+        # (data.preprocess.device_augment; loaders opt in via device_augment)
+        from vqa_tpu.data.preprocess import device_augment
+
+        self._augment = jax.jit(
+            functools.partial(
+                device_augment, image_size=model.config.image_size
+            )
+        )
+        self._aug_rng = jax.random.fold_in(self.rng, 0x5EED)
 
         self.logger = MetricsLogger()
         self.start_epoch = 0
@@ -223,10 +233,18 @@ class Trainer:
             self.train_loader, sharding=self.batch_sharding
         ):
             bs = int(np.shape(batch["answer"])[0])
+            images = batch["image"]
+            if images.dtype == jnp.uint8:  # device-side augmentation path
+                images = self._augment(
+                    images,
+                    jax.random.fold_in(
+                        self._aug_rng, epoch * 1_000_000 + step_no
+                    ),
+                )
             with step_annotation("train", step_no):
                 self.state, m = self.train_step(
                     self.state,
-                    batch["image"],
+                    images,
                     batch["token_ids"],
                     batch["attention_mask"],
                     batch["answer"],
@@ -397,6 +415,9 @@ def parse_args(argv=None):
     p.add_argument("--profile-dir", default=None,
                    help="dump a TensorBoard device trace of the first "
                         "trained epoch to this directory")
+    p.add_argument("--device-aug", action="store_true",
+                   help="run train-time augmentation on-device (uint8 "
+                        "batches from the loader, crop/flip/jitter in XLA)")
     return p.parse_args(argv)
 
 
@@ -449,6 +470,7 @@ def main(argv=None):
                     num_answers=mcfg.num_answers,
                     image_size=mcfg.image_size,
                     seed=tcfg.seed,
+                    device_augment=args.device_aug,
                 )
             )
             import dataclasses

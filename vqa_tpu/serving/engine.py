@@ -174,18 +174,20 @@ class VQAInference:
                     self.load()
 
     def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:
-        """Pre-compile the forward program for every batch bucket so the
-        first real request (and the first burst) never pays an XLA compile."""
+        """Pre-compile every program on the request path for every batch
+        bucket so the first real request (and the first burst) never pays an
+        XLA compile.
+
+        Runs the FULL ``predict_batch_raw`` path — decode/resize, tokenize,
+        the jitted forward, the eager result slice, and the device→host
+        fetch — not just the forward: the small eager ops each compile their
+        own program, and over the TPU tunnel even those are tens of seconds
+        cold (a first request used to hang ~45s after a forward-only warmup)."""
         self._ensure_loaded()
         size = self.model.config.image_size
-        L = self.model.config.max_question_length
+        img = np.zeros((size, size, 3), np.uint8)
         for b in buckets or self.cfg.batch_buckets:
-            pixels = jnp.zeros((b, size, size, 3), jnp.uint8)
-            ids = jnp.ones((b, L), jnp.int32)
-            mask = jnp.ones((b, L), jnp.int32)
-            jax.block_until_ready(
-                self._forward(self.variables, pixels, ids, mask)
-            )
+            self.predict_batch_raw([img] * b, ["warm up question"] * b)
         print(f"[Inference] warmed buckets {tuple(buckets or self.cfg.batch_buckets)}")
 
     # ------------------------------------------------------------------
@@ -223,7 +225,9 @@ class VQAInference:
             jnp.asarray(ids),
             jnp.asarray(mask),
         )
-        return np.asarray(probs[:n], np.float32)
+        # fetch the whole padded bucket and slice on host: probs[:n] on
+        # device would compile a separate tiny slice program per distinct n
+        return np.asarray(probs, np.float32)[:n]
 
     def _format_result(
         self, question: str, probs: np.ndarray, top_k: int

@@ -43,7 +43,11 @@ def bench_train(args):
 
     backend = jax.default_backend()
     dtype = jnp.bfloat16 if (backend != "cpu" and not args.f32) else jnp.float32
-    model = create_vqa_model(dtype=dtype)
+    model = create_vqa_model(
+        dtype=dtype,
+        stem_s2d=args.s2d,
+        use_pallas_cross_attention=args.pallas,
+    )
     variables = init_vqa_model(model, jax.random.PRNGKey(0))
     tx, _ = make_optimizer(TrainingConfig(), steps_per_epoch=100)
     train_step = make_train_step(model)

@@ -30,10 +30,10 @@ def test_shapes_dtype_and_range():
     out = device_augment(_batch(), jax.random.PRNGKey(0), image_size=S)
     assert out.shape == (4, S, S, 3)
     assert out.dtype == jnp.float32
-    # post-normalize range of clipped [0,1] pixels
-    lo = (0.0 - IMAGENET_MEAN.max()) / IMAGENET_STD.max() - 1e-5
-    hi = (1.0 - IMAGENET_MEAN.min()) / IMAGENET_STD.min() + 1e-5
-    assert float(out.min()) >= lo - 5.0 and float(out.max()) <= hi + 5.0
+    # exact post-normalize bounds of clipped [0,1] pixels
+    lo = float(((0.0 - IMAGENET_MEAN) / IMAGENET_STD).min()) - 1e-5
+    hi = float(((1.0 - IMAGENET_MEAN) / IMAGENET_STD).max()) + 1e-5
+    assert float(out.min()) >= lo and float(out.max()) <= hi
     assert np.isfinite(np.asarray(out)).all()
 
 

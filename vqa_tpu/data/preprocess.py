@@ -308,9 +308,15 @@ def validate_question(q: str, min_words: int = 2) -> Tuple[bool, str]:
 # ---------------------------------------------------------------------------
 
 def vqa_collate(samples: Sequence[dict]) -> dict:
-    """Stack per-sample dicts into fixed-shape batch arrays."""
+    """Stack per-sample dicts into fixed-shape batch arrays
+    (reference: data/preprocess.py:285-315; the rebuild's loaders collate
+    inside BatchLoader, which also pads partial batches — this standalone
+    helper mirrors the reference API for custom loaders).
+
+    Image dtype is preserved: uint8 batches signal the Trainer's on-device
+    augmentation path."""
     return {
-        "image": np.stack([s["image"] for s in samples]).astype(np.float32),
+        "image": np.stack([s["image"] for s in samples]),
         "token_ids": np.stack([s["token_ids"] for s in samples]).astype(np.int32),
         "attention_mask": np.stack(
             [s["attention_mask"] for s in samples]

@@ -76,10 +76,9 @@ class VQAInference:
             dtype = (
                 jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
             )
-        # space-to-depth stem (models.cnn_backbone.StemConv) measured ~4%
-        # slower than XLA's native stem handling on TPU — keep it off; the
-        # plan stays available via create_vqa_model(stem_s2d=True)
-        s2d = False
+        # NOTE: the space-to-depth stem plan (models.cnn_backbone.StemConv)
+        # measured ~4% slower than XLA's native stem handling on TPU, so the
+        # engine uses the create_vqa_model default (off).
 
         # ---- model: checkpoint → torch .pth → random default -----------
         loaded = False
@@ -90,9 +89,7 @@ class VQAInference:
                 model, variables = ckpt_lib.load_model_for_inference(
                     self.checkpoint_dir, self.checkpoint_name
                 )
-                self.model = create_vqa_model(
-                    config=model.config, dtype=dtype, stem_s2d=s2d
-                )
+                self.model = create_vqa_model(config=model.config, dtype=dtype)
                 self.variables = variables
                 loaded = True
                 print(f"[Inference] loaded checkpoint {self.checkpoint_name}")
@@ -102,9 +99,7 @@ class VQAInference:
                     from vqa_tpu.compat.torch_import import load_torch_checkpoint
 
                     variables, mcfg = load_torch_checkpoint(pth)
-                    self.model = create_vqa_model(
-                        config=mcfg, dtype=dtype, stem_s2d=s2d
-                    )
+                    self.model = create_vqa_model(config=mcfg, dtype=dtype)
                     self.variables = variables
                     loaded = True
                     print(f"[Inference] imported PyTorch checkpoint {pth}")
@@ -112,7 +107,7 @@ class VQAInference:
             # random default model (reference: api/inference.py:96-102)
             print("[Inference] no checkpoint — using randomly initialized model")
             mcfg = self._model_config or ModelConfig()
-            self.model = create_vqa_model(config=mcfg, dtype=dtype, stem_s2d=s2d)
+            self.model = create_vqa_model(config=mcfg, dtype=dtype)
             self.variables = init_vqa_model(self.model, jax.random.PRNGKey(0))
         self.model_loaded_from_checkpoint = loaded
 
@@ -179,10 +174,10 @@ class VQAInference:
         XLA compile.
 
         Runs the FULL ``predict_batch_raw`` path — decode/resize, tokenize,
-        the jitted forward, the eager result slice, and the device→host
-        fetch — not just the forward: the small eager ops each compile their
-        own program, and over the TPU tunnel even those are tens of seconds
-        cold (a first request used to hang ~45s after a forward-only warmup)."""
+        the jitted forward, and the device→host fetch — not just the
+        forward: any stray eager op compiles its own program, and over the
+        TPU tunnel even a tiny one is tens of seconds cold (a first request
+        used to hang ~45s after a forward-only warmup)."""
         self._ensure_loaded()
         size = self.model.config.image_size
         img = np.zeros((size, size, 3), np.uint8)

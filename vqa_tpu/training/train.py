@@ -233,26 +233,34 @@ class Trainer:
             self.train_loader, sharding=self.batch_sharding
         ):
             bs = int(np.shape(batch["answer"])[0])
-            images = batch["image"]
-            if images.dtype == jnp.uint8:  # device-side augmentation path
-                images = self._augment(
-                    images,
-                    jax.random.fold_in(
-                        self._aug_rng, epoch * 1_000_000 + step_no
-                    ),
-                )
-            with step_annotation("train", step_no):
-                self.state, m = self.train_step(
-                    self.state,
-                    images,
-                    batch["token_ids"],
-                    batch["attention_mask"],
-                    batch["answer"],
-                    self.rng,
-                )
+
+            def dispatch(batch=batch, step_no=step_no):
+                images = batch["image"]
+                if images.dtype == jnp.uint8:  # device-side augmentation
+                    images = self._augment(
+                        images,
+                        jax.random.fold_in(
+                            self._aug_rng, epoch * 1_000_000 + step_no
+                        ),
+                    )
+                with step_annotation("train", step_no):
+                    self.state, m = self.train_step(
+                        self.state,
+                        images,
+                        batch["token_ids"],
+                        batch["attention_mask"],
+                        batch["answer"],
+                        self.rng,
+                    )
+                return m
+
             if profiling:
+                # the timed region covers augmentation + dispatch + the
+                # fence, so host dispatch cost is visible in the profile
                 with self.step_timer.step(items=bs) as s:
-                    s.result = m
+                    s.result = m = dispatch()
+            else:
+                m = dispatch()
             device_metrics.append(m)
             n += bs
             step_no += 1

@@ -125,8 +125,9 @@ class StepTimer:
             self.result: Any = None
 
     def __init__(self, max_samples: int = 100_000):
-        self._times_ms: List[float] = []
-        self._items = 0
+        # parallel (time_ms, items) samples so trimming keeps the
+        # throughput numerator and denominator consistent
+        self._samples: List[tuple] = []
         self._max = max_samples
 
     @contextlib.contextmanager
@@ -138,20 +139,22 @@ class StepTimer:
         finally:
             if s.result is not None:
                 jax.block_until_ready(s.result)
-            self._times_ms.append((time.perf_counter() - t0) * 1000.0)
-            self._items += items
-            if len(self._times_ms) > self._max:
-                self._times_ms = self._times_ms[-self._max // 2:]
+            self._samples.append(
+                ((time.perf_counter() - t0) * 1000.0, items)
+            )
+            if len(self._samples) > self._max:
+                self._samples = self._samples[-self._max // 2:]
 
     def reset(self) -> None:
-        self._times_ms = []
-        self._items = 0
+        self._samples = []
 
     def summary(self) -> Dict[str, float]:
-        out = percentile_summary(self._times_ms)
-        total_s = sum(self._times_ms) / 1000.0
+        out = percentile_summary([t for t, _ in self._samples])
+        total_s = sum(t for t, _ in self._samples) / 1000.0
         if total_s > 0:
-            out["items_per_sec"] = float(self._items / total_s)
+            out["items_per_sec"] = float(
+                sum(i for _, i in self._samples) / total_s
+            )
         return out
 
 

@@ -19,7 +19,7 @@ TPU-first differences:
 from __future__ import annotations
 
 import io
-from typing import Optional, Sequence, Tuple, Union
+from typing import Sequence, Tuple, Union
 
 import numpy as np
 from PIL import Image

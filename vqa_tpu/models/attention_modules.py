@@ -20,7 +20,6 @@ defines-but-never-uses them (models/attention_modules.py:246-384).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

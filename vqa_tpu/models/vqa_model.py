@@ -13,7 +13,6 @@ reference takes NCHW [B, 3, 224, 224].
 from __future__ import annotations
 
 import functools
-import math
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 import threading
-from typing import Any, Dict, List, Optional, Sequence, Union
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,6 @@ from vqa_tpu.data.preprocess import (
     ImageInput,
     device_normalize,
     resize_batch_to_uint8,
-    validate_question,
 )
 from vqa_tpu.data.vocab import AnswerVocabulary
 from vqa_tpu.utils.config import InferenceConfig, ModelConfig

@@ -28,7 +28,6 @@ import json
 import mimetypes
 import os
 import re
-import threading
 from email.parser import BytesParser
 from email.policy import HTTP
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer

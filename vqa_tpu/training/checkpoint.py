@@ -19,7 +19,6 @@ import shutil
 from typing import Any, Dict, Optional, Tuple
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from vqa_tpu.utils.config import ModelConfig, model_config_dict, model_config_from_dict

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import argparse
 import functools
-import json
 import os
 import time
 from typing import Any, Dict, Optional, Tuple
@@ -42,7 +41,7 @@ from vqa_tpu.parallel.mesh import (
 )
 from vqa_tpu.training import checkpoint as ckpt_lib
 from vqa_tpu.utils.config import ModelConfig, TrainingConfig
-from vqa_tpu.utils.metrics import AverageMeter, MetricsLogger
+from vqa_tpu.utils.metrics import MetricsLogger
 from vqa_tpu.utils.profiling import StepTimer, maybe_trace, step_annotation
 
 

@@ -226,9 +226,16 @@ def main(argv=None):
     enable_compilation_cache()
     args = parse_args(argv)
 
-    model, variables = load_model_for_inference(
-        args.checkpoint_dir, args.checkpoint
-    )
+    from vqa_tpu.training.checkpoint import checkpoint_exists
+
+    name = args.checkpoint
+    if not checkpoint_exists(args.checkpoint_dir, name) and checkpoint_exists(
+        args.checkpoint_dir, "latest"
+    ):
+        # a run whose val accuracy never improved has no best_model copy
+        print(f"[Evaluator] no '{name}' checkpoint — falling back to 'latest'")
+        name = "latest"
+    model, variables = load_model_for_inference(args.checkpoint_dir, name)
     cfg = model.config
 
     tokenizer = answer_vocab = None
@@ -267,6 +274,7 @@ def main(argv=None):
     print(report)
 
     out_dir = args.output_dir or args.checkpoint_dir
+    os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "evaluation_results.json"), "w") as f:
         json.dump(results, f, indent=2)
     with open(os.path.join(out_dir, "evaluation_report.txt"), "w") as f:

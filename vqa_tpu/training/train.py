@@ -385,6 +385,11 @@ class Trainer:
                 if epochs_no_improve >= patience:
                     print(f"[Trainer] early stop after {patience} stale epochs")
                     break
+            # always leave a resumable checkpoint on completion — a short
+            # run whose validation accuracy never improves would otherwise
+            # write nothing (improvement-only + every-5-epochs saves)
+            if self.cfg.num_epochs > self.start_epoch:
+                self.save("latest", epoch)
         except KeyboardInterrupt:
             print("[Trainer] interrupted — saving checkpoint")
             self.save("interrupted", epoch)

@@ -20,6 +20,7 @@ Host-side accumulator classes consume the (asynchronously fetched) counts.
 from __future__ import annotations
 
 import json
+import os
 from typing import Dict, List, Optional, Sequence
 
 import jax.numpy as jnp
@@ -223,5 +224,8 @@ class MetricsLogger:
         return logger
 
     def save(self, filepath: str) -> None:
+        d = os.path.dirname(filepath)
+        if d:
+            os.makedirs(d, exist_ok=True)
         with open(filepath, "w", encoding="utf-8") as f:
             json.dump(self.to_dict(), f, indent=2)

@@ -16,6 +16,7 @@ arrays (static shapes → one compiled XLA program).
 from __future__ import annotations
 
 import json
+import os
 import re
 from collections import Counter
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -141,6 +142,9 @@ class Tokenizer:
             "max_length": self.max_length,
             "max_vocab_size": self.max_vocab_size,
         }
+        d = os.path.dirname(filepath)
+        if d:
+            os.makedirs(d, exist_ok=True)
         with open(filepath, "w", encoding="utf-8") as f:
             json.dump(data, f, indent=2, ensure_ascii=False)
         print(f"[Tokenizer] Saved vocabulary to {filepath}")

@@ -52,6 +52,13 @@ def bench_train(args):
     tx, _ = make_optimizer(TrainingConfig(), steps_per_epoch=100)
     train_step = make_train_step(model)
 
+    if args.aug:
+        import functools
+
+        from vqa_tpu.data.preprocess import device_augment
+
+        augment = jax.jit(functools.partial(device_augment, image_size=224))
+
     rng = np.random.default_rng(0)
     results = {}
     best, best_batch = 0.0, 0
@@ -66,20 +73,30 @@ def bench_train(args):
             tx=tx,
             batch_stats=jax.tree.map(jnp.copy, variables["batch_stats"]),
         )
-        imgs = jnp.asarray(
-            rng.normal(size=(b, 224, 224, 3)).astype(np.float32)
-        )
+        if args.aug:  # uint8 crop sources; augmentation runs on device
+            imgs = jnp.asarray(
+                rng.integers(0, 256, size=(b, 256, 256, 3), dtype=np.uint8)
+            )
+        else:
+            imgs = jnp.asarray(
+                rng.normal(size=(b, 224, 224, 3)).astype(np.float32)
+            )
         ids = jnp.asarray(rng.integers(4, 10000, size=(b, 20)), jnp.int32)
         mask = jnp.ones((b, 20), jnp.int32)
         labels = jnp.asarray(rng.integers(0, 1000, size=(b,)), jnp.int32)
         key = jax.random.PRNGKey(0)
-        for _ in range(2):  # warmup/compile
-            state, m = train_step(state, imgs, ids, mask, labels, key)
+
+        def one_step(state, i):
+            images = augment(imgs, jax.random.fold_in(key, i)) if args.aug else imgs
+            return train_step(state, images, ids, mask, labels, key)
+
+        for i in range(2):  # warmup/compile
+            state, m = one_step(state, i)
         jax.block_until_ready(m)
         for _ in range(reps):
             t0 = time.perf_counter()
-            for _ in range(chain):
-                state, m = train_step(state, imgs, ids, mask, labels, key)
+            for i in range(chain):
+                state, m = one_step(state, i)
             jax.block_until_ready(m)
             _ = float(m["loss"])  # force completion through the tunnel
             dt = time.perf_counter() - t0
@@ -106,6 +123,9 @@ def main():
     p.add_argument("--quick", action="store_true", help="fewer timed iters")
     p.add_argument("--train", action="store_true",
                    help="benchmark the training step instead of inference")
+    p.add_argument("--aug", action="store_true",
+                   help="with --train: include on-device augmentation "
+                        "(uint8 256px sources, crop/flip/jitter in XLA)")
     p.add_argument("--batches", type=int, nargs="*", default=None)
     p.add_argument("--f32", action="store_true", help="disable bf16 compute")
     p.add_argument("--s2d", action="store_true",

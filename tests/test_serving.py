@@ -207,3 +207,56 @@ def test_http_frontend_served(http_server):
     assert "Visual Question Answering" in html
     with urllib.request.urlopen(http_server + "/app/script.js", timeout=30) as r:
         assert "predict" in r.read().decode()
+
+
+def test_batcher_isolates_corrupt_image(engine):
+    """One corrupt upload must fail only its own request, not the valid
+    requests batched with it (per-request decode isolation)."""
+    batcher = MicroBatcher(engine, batch_timeout_ms=50.0)
+    results = {}
+
+    def call(name, payload):
+        try:
+            results[name] = batcher.submit(payload, "what is this", 3)
+        except Exception as e:
+            results[name] = e
+
+    threads = [
+        threading.Thread(target=call, args=("good", _png_bytes())),
+        threading.Thread(target=call, args=("bad", b"not an image at all")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    batcher.shutdown()
+    assert isinstance(results["bad"], Exception)
+    assert isinstance(results["good"], dict)
+    assert results["good"]["answers"]
+
+
+def test_engine_empty_batch(engine):
+    probs = engine.predict_batch_raw([], [])
+    assert probs.shape == (0, TINY_CFG.num_answers)
+
+
+def test_http_predict_batch_empty_is_400(http_server):
+    try:
+        _post_multipart(
+            http_server + "/predict-batch", {"questions": ""}, {}
+        )
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = True
+        assert e.code == 400
+    assert raised
+
+
+def test_http_static_no_traversal(http_server):
+    """/app/../<repo file> must 404 — containment, not prefix matching."""
+    for path in ("/app/../PARITY.md", "/app/..%2fPARITY.md", "/app/../../etc/hostname"):
+        try:
+            with urllib.request.urlopen(http_server + path, timeout=30) as r:
+                assert r.status == 404
+        except urllib.error.HTTPError as e:
+            assert e.code == 404

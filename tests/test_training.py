@@ -190,3 +190,59 @@ def test_evaluator_on_demo(tmp_path):
     assert results["top1_accuracy"] <= results["top5_accuracy"]
     report = ev.generate_report(results)
     assert "top-1 accuracy" in report
+
+
+def test_evaluator_reports_vqa_soft_accuracy_on_real_dataset(tmp_path):
+    """annotator answers ride through dataset → loader → Evaluator and the
+    official soft accuracy min(1, agreement/3) appears in the results
+    (regression: the key was never emitted, so the metric was dead code)."""
+    import json as _json
+
+    from PIL import Image
+
+    from vqa_tpu.data.dataset import BatchLoader, VQADataset
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    questions, annotations = [], []
+    for i in range(4):
+        Image.new("RGB", (48, 48), (i * 40, 80, 120)).save(
+            img_dir / f"{i:012d}.jpg"
+        )
+        questions.append(
+            {"question_id": i, "image_id": i, "question": "what color is it"}
+        )
+        annotations.append(
+            {
+                "question_id": i,
+                "multiple_choice_answer": "red" if i % 2 else "blue",
+                "question_type": "what color",
+                "answers": [{"answer": "red" if i % 2 else "blue"}] * 7
+                + [{"answer": "green"}] * 3,
+            }
+        )
+    qp, ap = tmp_path / "q.json", tmp_path / "a.json"
+    qp.write_text(_json.dumps({"questions": questions}))
+    ap.write_text(_json.dumps({"annotations": annotations}))
+
+    ds = VQADataset(
+        str(qp), str(ap), str(img_dir), num_answers=8,
+        max_question_length=6, vocab_size=50, is_training=False,
+        image_size=32,
+    )
+    assert len(ds) == 4
+    sample = ds[0]
+    assert sample["annotator_answers"].shape == (10,)
+
+    loader = BatchLoader(ds, batch_size=4, drop_last=False)
+    batch = next(iter(loader))
+    assert batch["annotator_answers"].shape == (4, 10)
+
+    model = create_vqa_model(**TINY)
+    variables = init_vqa_model(model, jax.random.PRNGKey(0))
+    from vqa_tpu.training.evaluate import Evaluator
+
+    results = Evaluator(model, variables, ds.answer_vocab).evaluate(loader)
+    assert "vqa_soft_accuracy" in results
+    assert 0.0 <= results["vqa_soft_accuracy"] <= 1.0
+    assert results["per_type_accuracy"].keys() == {"what color"}

@@ -132,12 +132,18 @@ class VQADataset:
         else:
             image = preprocess_image(s["image_path"], self.image_size)
         ids, mask = self.tokenizer.encode(s["question"])
+        # fixed [10] vector of annotator answer indices (-1 = OOV/absent)
+        # feeding the official VQA soft accuracy in the Evaluator
+        ann = np.full(10, -1, np.int32)
+        got = s["annotator_answers"][:10]
+        ann[: len(got)] = got
         return {
             "image": image,
             "token_ids": np.asarray(ids, np.int32),
             "attention_mask": np.asarray(mask, np.int32),
             "answer": s["answer"],
             "question_type": s["question_type"],
+            "annotator_answers": ann,
         }
 
 
@@ -222,7 +228,6 @@ class BatchLoader:
         order = self.indices.copy()
         if self.shuffle:
             self._rng.shuffle(order)
-        n_full = len(order) // self.batch_size
         for b in range(len(self)):
             idx = order[b * self.batch_size : (b + 1) * self.batch_size]
             valid = len(idx)
@@ -242,6 +247,10 @@ class BatchLoader:
                 "valid": valid,
                 "question_types": [s.get("question_type", "unknown") for s in samples],
             }
+            if "annotator_answers" in samples[0]:
+                batch["annotator_answers"] = np.stack(
+                    [s["annotator_answers"] for s in samples]
+                )
             yield batch
 
 

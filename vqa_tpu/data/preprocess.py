@@ -128,15 +128,16 @@ def preprocess_image(
     image: ImageInput, image_size: int = 224, normalize: bool = True
 ) -> np.ndarray:
     """Val/inference path: resize (S,S) → normalize → [H,W,3] f32 (NHWC)
-    (reference: data/preprocess.py:98-121,146-176)."""
-    arr = to_uint8(resize_image(load_image(image), image_size))
+    (reference: data/preprocess.py:98-121,146-176). The resize goes through
+    the native C++ resampler when available (bit-identical to PIL)."""
+    arr = resize_to_uint8(image, image_size)
     return normalize_image(arr) if normalize else arr
 
 
 def preprocess_image_bytes(data: bytes, image_size: int = 224) -> np.ndarray:
     """Bytes → resized uint8 [H,W,3] for the on-device-normalize path
     (reference analog: data/preprocess.py:179-196)."""
-    return to_uint8(resize_image(load_image(data), image_size))
+    return resize_to_uint8(data, image_size)
 
 
 def augment_image(
@@ -152,8 +153,7 @@ def augment_image(
     jitter → normalize (reference: data/preprocess.py:38-95; jitter factors
     match, applied in fixed b/c/s/h order instead of torchvision's random
     order — augmentation only, no parity requirement)."""
-    img = resize_image(load_image(image), image_size + 32)
-    x = np.asarray(img, dtype=np.float32) / 255.0  # [S+32, S+32, 3]
+    x = resize_to_uint8(image, image_size + 32).astype(np.float32) / 255.0
 
     # random crop
     max_off = x.shape[0] - image_size

@@ -10,8 +10,11 @@ reference that matter on TPU:
 - functional Flax modules with a ``train`` flag instead of stateful
   ``nn.Module``; all math identical to the reference so imported PyTorch
   weights reproduce logits bit-closely.
-- the SE path can optionally run as a fused Pallas kernel
-  (vqa_tpu/ops/se_kernel.py) behind ``KernelConfig.use_pallas_se``.
+- a fused Pallas SE kernel exists as a library op (vqa_tpu/ops/se_kernel.py,
+  validated bit-exact on hardware) but is intentionally NOT wired in here:
+  XLA already fuses the GAP→FC→FC→sigmoid→scale epilogue, and a kernel flag
+  threaded through the module tree would change the checkpoint param
+  structure for no measured gain (see KernelConfig's docstring).
 
 ``CBAMBlock`` and ``SelfAttention2D`` exist for API completeness but are
 not used in the main model path — matching the reference, which also

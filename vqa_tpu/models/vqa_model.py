@@ -146,7 +146,7 @@ def create_vqa_model(
     config: Optional[ModelConfig] = None,
     use_attention: Optional[bool] = None,
     dtype: jnp.dtype = jnp.float32,
-    use_pallas_cross_attention: bool = False,
+    use_pallas_cross_attention: Optional[bool] = None,
     stem_s2d: bool = False,
     **overrides,
 ) -> VQAModel:
@@ -158,6 +158,11 @@ def create_vqa_model(
     ``StemConv``).
     """
     import dataclasses
+
+    if use_pallas_cross_attention is None:
+        from vqa_tpu.utils.config import KERNELS
+
+        use_pallas_cross_attention = KERNELS.use_pallas_cross_attention
 
     cfg = config or ModelConfig()
     if overrides:

@@ -6,9 +6,11 @@ happen in a single VMEM-resident pass — no HBM round-trip for the pooled
 vector or the attention scale.
 
 TPU-native replacement for the reference's four-op SE chain
-(reference: models/attention_modules.py:91-136). Flag-gated via
-``KernelConfig.use_pallas_se``; numerics validated against the XLA path
-in tests/test_ops.py.
+(reference: models/attention_modules.py:91-136). Exposed as a library op —
+not wired into the model path, where XLA already fuses the SE epilogue
+(see KernelConfig's docstring); numerics validated against the XLA path in
+tests/test_ops.py and bit-exact compiled on hardware
+(scripts/validate_kernels_tpu.py).
 """
 
 from __future__ import annotations

@@ -111,15 +111,30 @@ class MicroBatcher:
             group = self._collect()
             if not group:
                 continue
+            # per-request decode isolation: one corrupt upload must fail
+            # only its own request, not every concurrent caller batched
+            # with it (the reference is one-forward-per-request and so
+            # isolates for free; this preserves that contract)
+            good: List[_Request] = []
+            pixels: List[Any] = []
+            for r in group:
+                try:
+                    pixels.append(self.engine._preprocess_images([r.image])[0])
+                    good.append(r)
+                except Exception as e:
+                    r.error = e
             try:
-                probs = self.engine.predict_batch_raw(
-                    [r.image for r in group],
-                    [r.question for r in group],
-                )
-                for r, p in zip(group, probs):
-                    r.result = self.engine._format_result(r.question, p, r.top_k)
-            except Exception as e:  # fan the error out to all waiters
-                for r in group:
+                if good:
+                    probs = self.engine.predict_probs_from_pixels(
+                        np.stack(pixels),
+                        [r.question for r in good],
+                    )
+                    for r, p in zip(good, probs):
+                        r.result = self.engine._format_result(
+                            r.question, p, r.top_k
+                        )
+            except Exception as e:  # model/device failure affects the batch
+                for r in good:
                     r.error = e
             finally:
                 self.total_batches += 1

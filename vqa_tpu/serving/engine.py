@@ -196,17 +196,16 @@ class VQAInference:
         # bit-identical to PIL bilinear) → [N, S, S, 3] u8
         return resize_batch_to_uint8(images, self.model.config.image_size)
 
-    def predict_batch_raw(
-        self,
-        images: Sequence[ImageInput],
-        questions: Sequence[str],
+    def predict_probs_from_pixels(
+        self, pixels: np.ndarray, questions: Sequence[str]
     ) -> np.ndarray:
-        """Batched probabilities [N, num_answers] via the bucket-padded
-        jitted forward. The serving hot path."""
+        """Pre-resized uint8 pixels [N,S,S,3] + questions → probabilities
+        [N, num_answers] via the bucket-padded jitted forward."""
         self._ensure_loaded()
-        n = len(images)
+        n = len(questions)
+        if n == 0:  # nothing to do; don't feed rank-deficient arrays to XLA
+            return np.zeros((0, self.model.config.num_answers), np.float32)
         bucket = self._bucket(n)
-        pixels = self._preprocess_images(images)
         ids, mask = self.tokenizer.encode_batch_np(list(questions))
         if bucket > n:
             pad = bucket - n
@@ -222,6 +221,19 @@ class VQAInference:
         # fetch the whole padded bucket and slice on host: probs[:n] on
         # device would compile a separate tiny slice program per distinct n
         return np.asarray(probs, np.float32)[:n]
+
+    def predict_batch_raw(
+        self,
+        images: Sequence[ImageInput],
+        questions: Sequence[str],
+    ) -> np.ndarray:
+        """Batched probabilities [N, num_answers]: decode/resize (native
+        C++ path) then the pixels forward. The serving hot path."""
+        self._ensure_loaded()
+        if len(images) == 0:
+            return np.zeros((0, self.model.config.num_answers), np.float32)
+        pixels = self._preprocess_images(images)
+        return self.predict_probs_from_pixels(pixels, questions)
 
     def _format_result(
         self, question: str, probs: np.ndarray, top_k: int

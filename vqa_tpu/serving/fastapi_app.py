@@ -25,9 +25,16 @@ def create_app(checkpoint_dir: Optional[str] = None):
             "fastapi is not installed; use vqa_tpu.serving.server (stdlib) "
             "which exposes the same endpoints"
         )
+    from fastapi.responses import JSONResponse
+
     from vqa_tpu.serving.server import VQAServer
 
     server = VQAServer(checkpoint_dir=checkpoint_dir)
+
+    def respond(status_payload):
+        # preserve the handlers' HTTP status (400 validation, 500 failure)
+        status, payload = status_payload
+        return JSONResponse(payload, status_code=status)
     app = FastAPI(title="VQA API", version="1.0.0")
     app.add_middleware(
         CORSMiddleware,
@@ -65,7 +72,7 @@ def create_app(checkpoint_dir: Optional[str] = None):
             "question": [(None, question.encode())],
             "top_k": [(None, str(top_k).encode())],
         }
-        return server.handle_predict(fields)[1]
+        return respond(server.handle_predict(fields))
 
     @app.post("/predict-batch")
     async def predict_batch(
@@ -76,6 +83,6 @@ def create_app(checkpoint_dir: Optional[str] = None):
             "images": [(im.filename, await im.read()) for im in images],
             "questions": [(None, questions.encode())],
         }
-        return server.handle_predict_batch(fields)[1]
+        return respond(server.handle_predict_batch(fields))
 
     return app

@@ -163,6 +163,8 @@ class VQAServer:
                 if qs_raw
                 else []
             )
+            if not images:
+                return 400, {"detail": "At least one image is required"}
             if len(images) != len(questions):
                 return 400, {
                     "detail": f"Number of images ({len(images)}) must match "
@@ -215,7 +217,12 @@ class VQAServer:
             def _serve_static(self, path: str):
                 rel = path[len("/app") :].lstrip("/") or "index.html"
                 full = os.path.normpath(os.path.join(_FRONTEND_DIR, rel))
-                if not full.startswith(_FRONTEND_DIR) or not os.path.isfile(full):
+                # bare-prefix startswith would also admit sibling dirs like
+                # frontend.bak/ — require containment under the dir itself
+                inside = full == _FRONTEND_DIR or full.startswith(
+                    _FRONTEND_DIR + os.sep
+                )
+                if not inside or not os.path.isfile(full):
                     return self._send(404, {"detail": "Not Found"})
                 ctype = mimetypes.guess_type(full)[0] or "application/octet-stream"
                 with open(full, "rb") as f:

@@ -248,7 +248,14 @@ def main(argv=None):
         answer_vocab = AnswerVocabulary()
         answer_vocab.load(vocab_path)
 
-    if args.demo or not (args.questions and os.path.exists(args.questions)):
+    # demo fallback unless ALL real-data paths are present on disk
+    # (reference: training/evaluate.py:345-380; a partial path set
+    # previously crashed with TypeError on open(None))
+    real_paths = [args.questions, args.annotations, args.images_dir]
+    have_real = all(p and os.path.exists(p) for p in real_paths)
+    if not args.demo and not have_real and any(real_paths):
+        print("[Evaluator] real-data paths missing/incomplete — demo data")
+    if args.demo or not have_real:
         ds = DemoVQADataset(
             num_samples=min(args.max_samples, 256),
             image_size=cfg.image_size,

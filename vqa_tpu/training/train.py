@@ -41,7 +41,7 @@ from vqa_tpu.parallel.mesh import (
 )
 from vqa_tpu.training import checkpoint as ckpt_lib
 from vqa_tpu.utils.config import ModelConfig, TrainingConfig
-from vqa_tpu.utils.metrics import MetricsLogger
+from vqa_tpu.utils.metrics import MetricsLogger, topk_correct, topk_flags
 from vqa_tpu.utils.profiling import StepTimer, maybe_trace, step_annotation
 
 
@@ -106,11 +106,7 @@ def make_train_step(model):
         new_state = state.apply_gradients(grads=grads)
         new_state = new_state.replace(batch_stats=new_stats)
 
-        top1 = jnp.argmax(logits, -1)
-        correct1 = jnp.sum((top1 == labels).astype(jnp.int32))
-        tl = jnp.take_along_axis(logits, labels[:, None], -1)
-        rank = jnp.sum((logits > tl).astype(jnp.int32), -1)
-        correct5 = jnp.sum((rank < 5).astype(jnp.int32))
+        correct1, correct5 = topk_correct(logits, labels, k=5)
         return new_state, {
             "loss": loss,
             "correct1": correct1,
@@ -136,14 +132,12 @@ def make_eval_step(model):
         loss_vec = optax.softmax_cross_entropy_with_integer_labels(
             logits, labels
         )
-        top1 = jnp.argmax(logits, -1)
-        tl = jnp.take_along_axis(logits, labels[:, None], -1)
-        rank = jnp.sum((logits > tl).astype(jnp.int32), -1)
+        flags1, flags5 = topk_flags(logits, labels, k=5)
         return {
             "loss_vec": loss_vec,
-            "pred": top1,
-            "correct1": (top1 == labels),
-            "correct5": rank < 5,
+            "pred": jnp.argmax(logits, -1),
+            "correct1": flags1,
+            "correct5": flags5,
             "logits": logits,
         }
 

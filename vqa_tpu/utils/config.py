@@ -167,11 +167,19 @@ class MeshConfig:
 
 @dataclass
 class KernelConfig:
-    """Pallas kernel toggles. XLA fallbacks always exist."""
+    """Pallas kernel toggles. XLA fallbacks always exist.
+
+    ``use_pallas_cross_attention`` is the default consumed by
+    ``create_vqa_model`` (override per call or via ``bench.py --pallas``).
+    Measured on the target chip the fused kernel loses to XLA fusion at
+    these attention shapes (see ops/cross_attention_kernel.py), so it
+    defaults off. The fused SE kernel (ops/se_kernel.py) is a library op
+    validated on hardware but intentionally not wired into the model: its
+    epilogue is already fully fused by XLA, and threading a kernel flag
+    through the checkpointed module tree would change the param structure.
+    """
 
     use_pallas_cross_attention: bool = False
-    use_pallas_se: bool = False
-    interpret: bool = False  # interpreter mode (CPU testing)
 
 
 PATHS = PathConfig()

@@ -31,19 +31,26 @@ import numpy as np
 # Jittable on-device metric math
 # ---------------------------------------------------------------------------
 
+def topk_flags(logits: jnp.ndarray, targets: jnp.ndarray, k: int = 5):
+    """Per-sample (top1_correct, topk_correct) bool vectors. Jittable.
+
+    logits: [B, num_answers]; targets: [B] int. Top-k membership without a
+    full sort: count logits strictly greater than the target's logit; the
+    target is in the top-k iff that count < k.
+    """
+    top1 = jnp.argmax(logits, axis=-1)
+    target_logit = jnp.take_along_axis(logits, targets[:, None], axis=-1)
+    rank = jnp.sum((logits > target_logit).astype(jnp.int32), axis=-1)
+    return top1 == targets, rank < k
+
+
 def topk_correct(logits: jnp.ndarray, targets: jnp.ndarray, k: int = 5):
     """Return (top1_correct, topk_correct) as int32 counts. Jittable.
 
     logits: [B, num_answers]; targets: [B] int.
     """
-    top1 = jnp.argmax(logits, axis=-1)
-    top1_correct = jnp.sum((top1 == targets).astype(jnp.int32))
-    # top-k membership without a full sort: count logits strictly greater
-    # than the target's logit; target is in the top-k iff that count < k.
-    target_logit = jnp.take_along_axis(logits, targets[:, None], axis=-1)
-    rank = jnp.sum((logits > target_logit).astype(jnp.int32), axis=-1)
-    topk_c = jnp.sum((rank < k).astype(jnp.int32))
-    return top1_correct, topk_c
+    f1, fk = topk_flags(logits, targets, k)
+    return jnp.sum(f1.astype(jnp.int32)), jnp.sum(fk.astype(jnp.int32))
 
 
 def vqa_soft_scores(pred_idx: jnp.ndarray, annotator_answer_idx: jnp.ndarray):

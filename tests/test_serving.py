@@ -260,3 +260,58 @@ def test_http_static_no_traversal(http_server):
                 assert r.status == 404
         except urllib.error.HTTPError as e:
             assert e.code == 404
+
+
+def test_engine_loads_reference_pth_checkpoint(tmp_path):
+    """A reference user's torch .pth checkpoint (reference schema:
+    model_state_dict + embedded config, training/train.py:280-294) loads
+    directly into the serving engine and produces logits matching the
+    torch model (the 'a reference .pth just works' path)."""
+    import sys
+
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference")
+    import importlib
+
+    ref_vqa = importlib.import_module("models.vqa_model")
+
+    kw = dict(
+        vocab_size=60, embed_dim=32, num_answers=10,
+        num_transformer_layers=1, num_attention_heads=4,
+        ffn_hidden_dim=64, max_question_length=8, num_cross_layers=1,
+    )
+    torch.manual_seed(3)
+    tm = ref_vqa.VQAModel(**kw)
+    tm.eval()
+    pth = tmp_path / "best_model.pth"
+    torch.save(
+        {"model_state_dict": tm.state_dict(), "config": dict(kw)}, str(pth)
+    )
+
+    engine = VQAInference(
+        checkpoint_dir=str(tmp_path), checkpoint_name="best_model.pth"
+    ).load()
+    assert engine.model_loaded_from_checkpoint
+    assert engine.model.config.num_answers == 10
+
+    rng = np.random.default_rng(3)
+    img_u8 = rng.integers(0, 256, size=(224, 224, 3), dtype=np.uint8)
+    probs = engine.predict_probs_from_pixels(
+        img_u8[None], ["what is shown here"]
+    )
+    assert probs.shape == (1, 10)
+    np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-5)
+
+    # logits parity vs the torch model on the same preprocessed input
+    from vqa_tpu.data.preprocess import normalize_image
+
+    ids, mask = engine.tokenizer.encode_batch_np(["what is shown here"])
+    x = normalize_image(img_u8)[None]
+    with torch.no_grad():
+        logits_ref, _ = tm(
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+            torch.from_numpy(ids.astype(np.int64)),
+            torch.from_numpy(mask.astype(np.int64)),
+        )
+    probs_ref = torch.softmax(logits_ref, -1).numpy()
+    np.testing.assert_allclose(probs, probs_ref, atol=1e-4)

@@ -150,3 +150,38 @@ def test_full_size_model_parity(ref):
     err = np.max(np.abs(np.asarray(logits) - logits_ref.numpy()))
     print(f"full-size logits max abs err: {err:.2e}")
     assert err < ATOL
+
+
+def test_no_attention_ablation_parity(ref):
+    """--no-attention ablation (BASELINE config #4): reference model built
+    with use_attention=False imports and matches end to end."""
+    ref_vqa, _ = ref
+    torch.manual_seed(4)
+    kw = dict(
+        vocab_size=60, embed_dim=32, num_answers=10,
+        num_transformer_layers=1, num_attention_heads=4,
+        ffn_hidden_dim=64, max_question_length=8, num_cross_layers=1,
+    )
+    tm = ref_vqa.VQAModel(
+        use_se_attention=False, use_spatial_attention=False, **kw
+    )
+    tm.eval()
+    rng = np.random.default_rng(4)
+    imgs = rng.normal(size=(2, 3, 224, 224)).astype(np.float32)
+    ids = rng.integers(4, 60, size=(2, 8)).astype(np.int64)
+    mask = np.ones((2, 8), np.int64)
+    with torch.no_grad():
+        logits_ref, _ = tm(
+            torch.from_numpy(imgs), torch.from_numpy(ids), torch.from_numpy(mask)
+        )
+    variables = convert_torch_state_dict(tm.state_dict())
+    jm = create_vqa_model(use_attention=False, **kw)
+    logits = forward_logits(
+        jm, variables,
+        jnp.asarray(np.transpose(imgs, (0, 2, 3, 1))),
+        jnp.asarray(ids.astype(np.int32)),
+        jnp.asarray(mask.astype(np.int32)),
+    )
+    err = np.max(np.abs(np.asarray(logits) - logits_ref.numpy()))
+    print(f"no-attention ablation logits max abs err: {err:.2e}")
+    assert err < ATOL

@@ -315,3 +315,37 @@ def test_engine_loads_reference_pth_checkpoint(tmp_path):
         )
     probs_ref = torch.softmax(logits_ref, -1).numpy()
     np.testing.assert_allclose(probs, probs_ref, atol=1e-4)
+
+
+def test_batcher_under_concurrent_load(engine):
+    """50 concurrent submits all succeed and are grouped into far fewer
+    forwards than requests (the batching win under load)."""
+    batcher = MicroBatcher(engine, max_batch_size=16, batch_timeout_ms=20.0)
+    png = _png_bytes()
+    results = [None] * 50
+
+    def call(i):
+        results[i] = batcher.submit(png, "what color is this thing", 3)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(50)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    stats = batcher.latency_stats()
+    batcher.shutdown()
+    assert all(r is not None and r["answers"] for r in results)
+    assert stats["count"] == 50
+    assert stats["batches"] < 50, "requests were never actually batched"
+
+
+def test_engine_bucket_beyond_largest(engine):
+    """n larger than every configured bucket pads to the next power of two."""
+    assert engine._bucket(5) > 4  # within configured (1, 4) + pow2 fallback
+    n = 6
+    probs = engine.predict_batch_raw(
+        [_png_bytes(color=(i * 30, 90, 90)) for i in range(n)],
+        ["what color is it"] * n,
+    )
+    assert probs.shape == (n, TINY_CFG.num_answers)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)

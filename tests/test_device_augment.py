@@ -153,3 +153,61 @@ def test_trainer_uint8_batch_path():
     )
     metrics = trainer.train_epoch(0)
     assert np.isfinite(metrics["train_loss"])
+
+
+def test_real_loaders_device_aug_end_to_end(tmp_path):
+    """create_train_val_loaders(device_augment=True) yields uint8 (S+32)
+    train batches, f32 val batches, and the Trainer trains on them."""
+    import json as _json
+
+    from PIL import Image
+
+    from vqa_tpu.data.dataset import create_train_val_loaders
+    from vqa_tpu.models import create_vqa_model, init_vqa_model
+    from vqa_tpu.training.train import Trainer
+    from vqa_tpu.utils.config import TrainingConfig
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    questions, annotations = [], []
+    for i in range(10):
+        Image.new("RGB", (50, 40), (i * 20, 100, 150)).save(
+            img_dir / f"{i:012d}.jpg"
+        )
+        questions.append(
+            {"question_id": i, "image_id": i, "question": "what color is it"}
+        )
+        annotations.append(
+            {"question_id": i, "multiple_choice_answer": "red" if i % 2 else "blue"}
+        )
+    qp, ap = tmp_path / "q.json", tmp_path / "a.json"
+    qp.write_text(_json.dumps({"questions": questions}))
+    ap.write_text(_json.dumps({"annotations": annotations}))
+
+    train_loader, val_loader, tok, vocab = create_train_val_loaders(
+        str(qp), str(ap), str(img_dir),
+        batch_size=4, eval_batch_size=2, max_question_length=6,
+        vocab_size=50, num_answers=8, image_size=S, device_augment=True,
+    )
+    tb = next(iter(train_loader))
+    assert tb["image"].dtype == np.uint8
+    assert tb["image"].shape[1:] == (S + 32, S + 32, 3)
+    vb = next(iter(val_loader))
+    assert vb["image"].dtype == np.float32
+    assert vb["image"].shape[1:] == (S, S, 3)
+
+    kw = dict(
+        vocab_size=tok.vocab_size, num_answers=8, embed_dim=16,
+        num_transformer_layers=1, num_attention_heads=2, ffn_hidden_dim=32,
+        max_question_length=6, image_size=S, base_channels=8,
+        stage_channels=(8, 16, 32, 64), feature_spatial_size=1,
+    )
+    model = create_vqa_model(**kw)
+    variables = init_vqa_model(model, jax.random.PRNGKey(0))
+    trainer = Trainer(
+        model, variables, train_loader, val_loader,
+        config=TrainingConfig(num_epochs=1, warmup_epochs=0, batch_size=4),
+        save_checkpoints=False,
+    )
+    m = trainer.train_epoch(0)
+    assert np.isfinite(m["train_loss"])

@@ -142,3 +142,42 @@ def test_prefetch_with_sharding():
     assert len(out) == 3
     assert out[0]["image"].sharding.spec == P("data")
     assert out[0]["valid"] == 8
+
+
+def test_sharded_checkpoint_save_resume(tmp_path):
+    """Checkpoints written from dp×tp-sharded state restore correctly into
+    a fresh sharded trainer (multi-chip save/resume round-trip)."""
+    from vqa_tpu.data.dataset import create_demo_loaders
+    from vqa_tpu.training.train import Trainer
+    from vqa_tpu.utils.config import TrainingConfig
+
+    mesh = create_mesh(data_parallel=4, model_parallel=2)
+    train_loader, val_loader = create_demo_loaders(
+        batch_size=4, eval_batch_size=4, num_samples=16,
+        image_size=32, max_question_length=6, vocab_size=64, num_answers=16,
+    )
+    model = create_vqa_model(**TINY)
+    variables = init_vqa_model(model, jax.random.PRNGKey(0))
+    cfg = TrainingConfig(num_epochs=1, batch_size=4, warmup_epochs=0)
+    trainer = Trainer(
+        model, variables, train_loader, val_loader, config=cfg,
+        mesh=mesh, checkpoint_dir=str(tmp_path),
+    )
+    trainer.train()
+
+    trainer2 = Trainer(
+        model, init_vqa_model(model, jax.random.PRNGKey(9)),
+        train_loader, val_loader, config=cfg, mesh=mesh,
+        checkpoint_dir=str(tmp_path),
+    )
+    trainer2.resume("latest")
+    assert trainer2.start_epoch == 1
+    wq = "params/text_encoder/layer0/self_attention/W_q/kernel".split("/")[1:]
+    p1 = trainer.state.params
+    p2 = trainer2.state.params
+    for k in wq:
+        p1, p2 = p1[k], p2[k]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-7)
+    # restored params keep working under the sharded eval step
+    metrics = trainer2.validate()
+    assert np.isfinite(metrics["val_loss"])

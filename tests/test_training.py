@@ -246,3 +246,34 @@ def test_evaluator_reports_vqa_soft_accuracy_on_real_dataset(tmp_path):
     assert "vqa_soft_accuracy" in results
     assert 0.0 <= results["vqa_soft_accuracy"] <= 1.0
     assert results["per_type_accuracy"].keys() == {"what color"}
+
+
+def test_sigterm_saves_interrupted_checkpoint(tmp_path):
+    """SIGTERM mid-training routes through the KeyboardInterrupt save path
+    (checkpoint-on-signal; the reference only catches Ctrl-C)."""
+    import os as _os
+    import signal as _signal
+
+    train_loader, val_loader = create_demo_loaders(
+        batch_size=4, eval_batch_size=4, num_samples=16,
+        image_size=32, max_question_length=6, vocab_size=50, num_answers=8,
+    )
+    model = create_vqa_model(**TINY)
+    variables = init_vqa_model(model, jax.random.PRNGKey(0))
+    trainer = Trainer(
+        model, variables, train_loader, val_loader,
+        config=TrainingConfig(num_epochs=3, batch_size=4, warmup_epochs=0),
+        checkpoint_dir=str(tmp_path),
+    )
+
+    def validate_and_sigterm():
+        _os.kill(_os.getpid(), _signal.SIGTERM)
+        return {"val_loss": 1.0, "val_top1": 0.0, "val_top5": 0.0}
+
+    trainer.validate = validate_and_sigterm
+    before = _signal.getsignal(_signal.SIGTERM)
+    with pytest.raises(KeyboardInterrupt):
+        trainer.train()
+    assert os.path.exists(os.path.join(tmp_path, "interrupted.meta.json"))
+    # the previous SIGTERM handler is restored on exit
+    assert _signal.getsignal(_signal.SIGTERM) == before

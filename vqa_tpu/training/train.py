@@ -339,6 +339,20 @@ class Trainer:
     def train(self, patience: Optional[int] = None) -> MetricsLogger:
         patience = patience if patience is not None else self.cfg.early_stop_patience
         epochs_no_improve = 0
+        # checkpoint-on-signal (SURVEY.md §5): the reference only catches
+        # Ctrl-C (KeyboardInterrupt, training/train.py:564-567); production
+        # schedulers send SIGTERM — route it through the same save path.
+        # Only the main thread may set signal handlers; tests drive train()
+        # from worker threads, so skip silently there.
+        import signal
+        import threading as _threading
+
+        prev_handler = None
+        if _threading.current_thread() is _threading.main_thread():
+            def _on_sigterm(signum, frame):
+                raise KeyboardInterrupt("SIGTERM")
+
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
         try:
             for epoch in range(self.start_epoch, self.cfg.num_epochs):
                 t0 = time.time()
@@ -388,6 +402,9 @@ class Trainer:
             print("[Trainer] interrupted — saving checkpoint")
             self.save("interrupted", epoch)
             raise
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
         return self.logger
 
 

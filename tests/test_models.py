@@ -283,3 +283,20 @@ def test_stem_s2d_exact_equivalence():
     err = float(jnp.max(jnp.abs(y0 - y1)))
     print(f"s2d stem max abs err: {err:.2e}")
     assert err < 1e-5
+
+
+def test_top_level_api_exports():
+    """`from vqa_tpu import X` works for the public API (lazy loaded)."""
+    import vqa_tpu
+
+    for name in (
+        "VQAModel", "create_vqa_model", "Trainer", "Evaluator",
+        "VQAInference", "VQAServer", "MicroBatcher", "Tokenizer",
+        "AnswerVocabulary", "VQADataset", "create_mesh",
+        "load_torch_checkpoint", "ModelConfig",
+    ):
+        assert getattr(vqa_tpu, name) is not None
+    import pytest as _pytest
+
+    with _pytest.raises(AttributeError):
+        vqa_tpu.not_a_thing

@@ -10,7 +10,8 @@ north star: ≥10× that, with <1e-3 logit fidelity (tests/test_parity.py).
 
 The benched program is the production inference path: uint8 pixels →
 on-device normalize → full VQA forward (bf16 compute on TPU) → logits,
-one XLA program, donated input buffers.
+one XLA program. (Inputs are NOT donated: the bench rotates two persistent
+input buffers, which donation would invalidate.)
 """
 
 from __future__ import annotations
@@ -126,7 +127,7 @@ def main():
     p.add_argument("--aug", action="store_true",
                    help="with --train: include on-device augmentation "
                         "(uint8 256px sources, crop/flip/jitter in XLA)")
-    p.add_argument("--batches", type=int, nargs="*", default=None)
+    p.add_argument("--batches", type=int, nargs="+", default=None)
     p.add_argument("--f32", action="store_true", help="disable bf16 compute")
     p.add_argument("--s2d", action="store_true",
                    help="space-to-depth stem execution plan (measured ~4%% "

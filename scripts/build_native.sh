@@ -4,7 +4,6 @@
 # when the .so is missing and a compiler is available).
 set -euo pipefail
 cd "$(dirname "$0")/.."
-mkdir -p native/build
 g++ -O3 -std=c++17 -shared -fPIC -pthread \
     -o native/libvqa_preprocess.so native/vqa_preprocess.cc
 echo "built native/libvqa_preprocess.so"

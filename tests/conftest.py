@@ -30,7 +30,12 @@ def pytest_configure(config):
 def pytest_collection_modifyitems(config, items):
     if config.getoption("-m", default=""):
         return
+    # a node ID named explicitly on the command line always runs
+    explicit = [a for a in config.args if "::" in a]
     skip_slow = pytest.mark.skip(reason="slow: run with -m slow")
     for item in items:
-        if "slow" in item.keywords:
+        if "slow" in item.keywords and not any(
+            item.nodeid == a or item.nodeid.endswith(a) or a.endswith(item.nodeid)
+            for a in explicit
+        ):
             item.add_marker(skip_slow)

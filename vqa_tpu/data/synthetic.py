@@ -1,0 +1,180 @@
+"""Synthetic learnable VQA data: colored shapes + programmatic questions.
+
+The reference's demo data is random noise (reference: data/dataset.py:384-472)
+— it exercises plumbing but no model can learn from it, so a "does the
+framework actually train?" question can't be answered without downloading
+COCO. This generator produces images a VQA model can genuinely learn:
+1-3 colored shapes (circle / square / triangle) on a plain background with
+three question families —
+
+    "what color is the {shape}"   → color name
+    "how many shapes are there"   → "1" | "2" | "3"
+    "is there a {shape}"          → "yes" | "no"
+
+Everything is deterministic per (seed, index). Samples follow the same dict
+protocol as VQADataset (image/token_ids/attention_mask/answer/question_type/
+annotator_answers), so BatchLoader, the Trainer, and the Evaluator consume
+them unchanged; ``--synthetic`` in the train CLI wires it up.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+from PIL import Image, ImageDraw
+
+from vqa_tpu.data.preprocess import augment_image, normalize_image
+from vqa_tpu.data.vocab import AnswerVocabulary
+from vqa_tpu.utils.tokenizer import Tokenizer, create_tokenizer_from_questions
+
+COLORS = {
+    "red": (220, 50, 40),
+    "green": (50, 180, 70),
+    "blue": (40, 90, 220),
+    "yellow": (235, 220, 50),
+    "purple": (150, 60, 200),
+    "orange": (240, 140, 30),
+}
+SHAPES = ("circle", "square", "triangle")
+ANSWERS = list(COLORS) + ["1", "2", "3", "yes", "no"]
+
+
+def _draw_scene(rng: np.random.Generator, size: int) -> Tuple[Image.Image, List[Tuple[str, str]]]:
+    """Render 1-3 non-overlapping shapes; returns (image, [(shape, color)])."""
+    bg = 235 + rng.integers(-8, 8, size=3)
+    img = Image.new("RGB", (size, size), tuple(int(v) for v in bg))
+    draw = ImageDraw.Draw(img)
+    n = int(rng.integers(1, 4))
+    # distinct shapes so "what color is the X" is unambiguous
+    shapes = list(rng.choice(SHAPES, size=n, replace=False))
+    placed = []
+    cells = rng.permutation(4)[:n]  # 2x2 grid cells, no overlap
+    for shape, cell in zip(shapes, cells):
+        color_name = str(rng.choice(list(COLORS)))
+        color = COLORS[color_name]
+        cx = (cell % 2) * size // 2 + size // 4 + int(rng.integers(-size // 12, size // 12))
+        cy = (cell // 2) * size // 2 + size // 4 + int(rng.integers(-size // 12, size // 12))
+        r = int(size * (0.10 + 0.08 * rng.random()))
+        if shape == "circle":
+            draw.ellipse([cx - r, cy - r, cx + r, cy + r], fill=color)
+        elif shape == "square":
+            draw.rectangle([cx - r, cy - r, cx + r, cy + r], fill=color)
+        else:
+            draw.polygon(
+                [(cx, cy - r), (cx - r, cy + r), (cx + r, cy + r)], fill=color
+            )
+        placed.append((shape, color_name))
+    return img, placed
+
+
+def _make_qa(rng: np.random.Generator, placed) -> Tuple[str, str, str]:
+    """(question, answer, question_type)."""
+    kind = int(rng.integers(0, 3))
+    if kind == 0:
+        shape, color = placed[int(rng.integers(0, len(placed)))]
+        return f"what color is the {shape}", color, "what color"
+    if kind == 1:
+        return "how many shapes are there", str(len(placed)), "how many"
+    shape = str(rng.choice(SHAPES))
+    present = any(s == shape for s, _ in placed)
+    return f"is there a {shape}", "yes" if present else "no", "is there"
+
+
+class SyntheticVQADataset:
+    """Deterministic colored-shapes VQA samples (VQADataset protocol)."""
+
+    def __init__(
+        self,
+        num_samples: int = 2000,
+        image_size: int = 224,
+        max_question_length: int = 20,
+        is_training: bool = True,
+        device_augment: bool = False,
+        tokenizer: Optional[Tokenizer] = None,
+        answer_vocab: Optional[AnswerVocabulary] = None,
+        seed: int = 42,
+    ):
+        self.num_samples = num_samples
+        self.image_size = image_size
+        self.is_training = is_training
+        self.device_augment = device_augment
+        self.seed = seed
+        self._aug_rng = np.random.default_rng(seed + 1)
+
+        if answer_vocab is None:
+            answer_vocab = AnswerVocabulary(num_answers=len(ANSWERS))
+            answer_vocab.build_from_qa_pairs([{"answer": a} for a in ANSWERS])
+        self.answer_vocab = answer_vocab
+        if tokenizer is None:
+            all_questions = (
+                [f"what color is the {s}" for s in SHAPES]
+                + ["how many shapes are there"]
+                + [f"is there a {s}" for s in SHAPES]
+            )
+            tokenizer = create_tokenizer_from_questions(
+                all_questions * 2, max_length=max_question_length,
+                vocab_size=100, min_freq=1,
+            )
+        self.tokenizer = tokenizer
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+    def __getitem__(self, idx: int) -> dict:
+        rng = np.random.default_rng(self.seed * 1_000_003 + idx)
+        if self.is_training and self.device_augment:
+            img, placed = _draw_scene(rng, self.image_size + 32)
+            image = np.asarray(img, np.uint8)
+        elif self.is_training:
+            img, placed = _draw_scene(rng, self.image_size + 32)
+            image = augment_image(img, self._aug_rng, self.image_size)
+        else:
+            img, placed = _draw_scene(rng, self.image_size)
+            image = normalize_image(np.asarray(img, np.uint8))
+        question, answer, qtype = _make_qa(rng, placed)
+        ids, mask = self.tokenizer.encode(question)
+        ann = np.full(10, self.answer_vocab.encode(answer), np.int32)
+        return {
+            "image": image,
+            "token_ids": np.asarray(ids, np.int32),
+            "attention_mask": np.asarray(mask, np.int32),
+            "answer": self.answer_vocab.encode(answer),
+            "question_type": qtype,
+            "annotator_answers": ann,
+        }
+
+
+def create_synthetic_loaders(
+    num_samples: int = 2000,
+    batch_size: int = 32,
+    eval_batch_size: int = 64,
+    image_size: int = 224,
+    max_question_length: int = 20,
+    train_split: float = 0.8,
+    device_augment: bool = False,
+    seed: int = 42,
+):
+    """(train_loader, val_loader, tokenizer, answer_vocab) over disjoint
+    deterministic sample ranges (val never sees a training scene)."""
+    from vqa_tpu.data.dataset import BatchLoader
+
+    base = SyntheticVQADataset(
+        num_samples, image_size, max_question_length,
+        is_training=True, device_augment=device_augment, seed=seed,
+    )
+    val_ds = SyntheticVQADataset(
+        num_samples, image_size, max_question_length,
+        is_training=False,
+        tokenizer=base.tokenizer, answer_vocab=base.answer_vocab, seed=seed,
+    )
+    n_train = int(num_samples * train_split)
+    train = BatchLoader(
+        base, batch_size, shuffle=True, drop_last=True, seed=seed,
+        indices=np.arange(n_train),
+    )
+    val = BatchLoader(
+        val_ds, eval_batch_size, shuffle=False, drop_last=False,
+        indices=np.arange(n_train, num_samples),
+    )
+    return train, val, base.tokenizer, base.answer_vocab

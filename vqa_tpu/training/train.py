@@ -429,6 +429,9 @@ def parse_args(argv=None):
     p.add_argument("--patience", type=int, default=10)
     p.add_argument("--resume", default=None)
     p.add_argument("--demo", action="store_true", help="random demo data")
+    p.add_argument("--synthetic", action="store_true",
+                   help="learnable colored-shapes data (data/synthetic.py) "
+                        "— real convergence without downloading VQA-v2")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model + data for smoke runs")
     p.add_argument("--no-bf16", action="store_true")
@@ -476,8 +479,29 @@ def main(argv=None):
         )
 
     tokenizer = answer_vocab = None
-    use_demo = args.demo
-    if not use_demo:
+    if args.synthetic:
+        import dataclasses
+
+        from vqa_tpu.data.synthetic import create_synthetic_loaders
+
+        train_loader, val_loader, tokenizer, answer_vocab = (
+            create_synthetic_loaders(
+                num_samples=min(tcfg.num_samples, 20000),
+                batch_size=tcfg.batch_size,
+                eval_batch_size=tcfg.eval_batch_size,
+                image_size=mcfg.image_size,
+                max_question_length=mcfg.max_question_length,
+                device_augment=args.device_aug,
+                seed=tcfg.seed,
+            )
+        )
+        mcfg = dataclasses.replace(
+            mcfg,
+            vocab_size=tokenizer.vocab_size,
+            num_answers=answer_vocab.num_answers,
+        )
+    use_demo = args.demo and not args.synthetic
+    if not use_demo and not args.synthetic:
         try:
             questions = args.questions or PATHS.questions_path
             annotations = args.annotations or PATHS.annotations_path
@@ -524,10 +548,11 @@ def main(argv=None):
     variables = init_vqa_model(model, jax.random.PRNGKey(tcfg.seed))
 
     ckpt_dir = args.checkpoint_dir or PATHS.checkpoint_dir
-    if tokenizer is not None:
-        tokenizer.save(os.path.join(ckpt_dir, "tokenizer.json"))
-    if answer_vocab is not None:
-        answer_vocab.save(os.path.join(ckpt_dir, "answer_vocab.json"))
+    if not args.no_save:  # vocab artifacts honor --no-save too
+        if tokenizer is not None:
+            tokenizer.save(os.path.join(ckpt_dir, "tokenizer.json"))
+        if answer_vocab is not None:
+            answer_vocab.save(os.path.join(ckpt_dir, "answer_vocab.json"))
 
     trainer = Trainer(
         model, variables, train_loader, val_loader,

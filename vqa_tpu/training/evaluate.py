@@ -215,6 +215,10 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--max-samples", type=int, default=5000)
     p.add_argument("--demo", action="store_true")
+    p.add_argument("--synthetic", action="store_true",
+                   help="evaluate on the learnable colored-shapes val split "
+                        "(data/synthetic.py; seed-matched to --synthetic "
+                        "training)")
     p.add_argument("--output-dir", default=None)
     return p.parse_args(argv)
 
@@ -253,9 +257,18 @@ def main(argv=None):
     # previously crashed with TypeError on open(None))
     real_paths = [args.questions, args.annotations, args.images_dir]
     have_real = all(p and os.path.exists(p) for p in real_paths)
-    if not args.demo and not have_real and any(real_paths):
-        print("[Evaluator] real-data paths missing/incomplete — demo data")
-    if args.demo or not have_real:
+    if args.synthetic:
+        from vqa_tpu.data.synthetic import create_synthetic_loaders
+
+        _, loader, _, _ = create_synthetic_loaders(
+            num_samples=max(args.max_samples, 64),
+            eval_batch_size=args.batch_size,
+            image_size=cfg.image_size,
+            max_question_length=cfg.max_question_length,
+        )
+    elif args.demo or not have_real:
+        if not args.demo and any(real_paths):
+            print("[Evaluator] real-data paths missing/incomplete — demo data")
         ds = DemoVQADataset(
             num_samples=min(args.max_samples, 256),
             image_size=cfg.image_size,

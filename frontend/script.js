@@ -40,9 +40,22 @@ function setFile(file) {
   img.src = URL.createObjectURL(file);
   img.hidden = false;
   el("dropzone").classList.add("has-image");
+  el("clear-image").hidden = false;
   updateAskButton();
   setStatus("Image ready — ask away.");
 }
+
+el("clear-image").addEventListener("click", (e) => {
+  e.stopPropagation();
+  currentFile = null;
+  el("preview").hidden = true;
+  el("preview").src = "";
+  el("clear-image").hidden = true;
+  el("dropzone").classList.remove("has-image");
+  el("file-input").value = "";
+  updateAskButton();
+  setStatus("Upload an image and ask a question.");
+});
 
 const dz = el("dropzone");
 dz.addEventListener("dragover", (e) => { e.preventDefault(); dz.classList.add("drag"); });
@@ -72,10 +85,11 @@ function updateAskButton() {
 }
 
 // ---- predict ---------------------------------------------------------------
-function setStatus(msg, isError = false) {
+function setStatus(msg, isError = false, thinking = false) {
   const s = el("status");
   s.textContent = msg;
   s.classList.toggle("error", isError);
+  s.classList.toggle("thinking", thinking);
   s.hidden = false;
 }
 
@@ -88,7 +102,7 @@ async function submit() {
 
   el("ask").disabled = true;
   el("result").hidden = true;
-  setStatus("Thinking…");
+  setStatus("Thinking…", false, true);
   const t0 = performance.now();
   try {
     const r = await fetch(`${API_BASE}/predict`, { method: "POST", body: form });
@@ -114,6 +128,7 @@ function renderResult(j, ms) {
   ul.innerHTML = "";
   j.answers.slice(1).forEach((a) => {
     const li = document.createElement("li");
+    li.style.setProperty("--p", (a.probability * 100).toFixed(1));
     li.innerHTML = `<span>${a.answer}</span><span>${(a.probability * 100).toFixed(1)}%</span>`;
     ul.appendChild(li);
   });

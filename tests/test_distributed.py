@@ -1,0 +1,107 @@
+"""Multi-host runtime tests (SURVEY.md §2.6 "communication backend" row).
+
+A real 2-process CPU cluster is spawned: both processes call
+``jax.distributed.initialize`` (one via explicit args, one via the standard
+env vars), build a mesh spanning both processes' devices, feed per-process
+local batches through ``data.pipeline.prefetch_to_device``
+(``jax.make_array_from_process_local_data``), and run a jitted reduction
+whose result depends on BOTH processes' data — proving cross-process
+collectives execute.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+from vqa_tpu.parallel import distributed
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r'''
+import os
+import sys
+
+mode, port, pid = sys.argv[1], sys.argv[2], int(sys.argv[3])
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 1)
+
+from vqa_tpu.parallel import distributed
+
+if mode == "env":
+    os.environ["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+    os.environ["JAX_NUM_PROCESSES"] = "2"
+    os.environ["JAX_PROCESS_ID"] = str(pid)
+    ok = distributed.initialize()
+else:
+    ok = distributed.initialize(f"localhost:{port}", 2, pid)
+
+assert ok, "expected a multi-process runtime"
+assert distributed.process_count() == 2
+assert distributed.process_index() == pid
+assert distributed.is_primary() == (pid == 0)
+assert len(jax.devices()) == 2
+assert distributed.local_batch_size(8) == 4
+
+import numpy as np
+
+from vqa_tpu.data.pipeline import prefetch_to_device
+from vqa_tpu.parallel.mesh import create_mesh, data_sharding
+
+mesh = create_mesh(data_parallel=2)
+# each process feeds only its local half of the global batch
+batches = [{"x": np.full((2, 4), pid, np.float32), "valid": 2}]
+(b,) = prefetch_to_device(iter(batches), sharding=data_sharding(mesh))
+assert b["x"].shape == (4, 4), b["x"].shape  # global shape assembled
+s = float(jax.jit(lambda a: a.sum())(b["x"]))  # needs both shards
+assert s == 8.0, s
+print(f"OK process={pid} sum={s}", flush=True)
+'''
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_cpu_cluster(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    port = _free_port()
+    env = dict(os.environ, PYTHONPATH=REPO_ROOT)
+    env.pop("JAX_COORDINATOR_ADDRESS", None)
+    # process 0 initializes via explicit args, process 1 via env vars —
+    # both join the same cluster, covering both configuration paths
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), mode, str(port), str(pid)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid, mode in ((0, "args"), (1, "env"))
+    ]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "OK process=" in out
+
+
+def test_single_process_is_noop(monkeypatch):
+    """With no coordinator configured, initialize() is a no-op and the
+    helpers collapse to the single-process answers."""
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+    monkeypatch.delenv("MEGASCALE_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.setattr(distributed, "_initialized", False)
+    assert distributed.initialize() is False
+    assert distributed.process_count() == 1
+    assert distributed.is_primary()
+    assert distributed.local_batch_size(32) == 32

@@ -44,6 +44,53 @@ def test_create_mesh_shapes():
     assert m2.shape == {"data": 4, "model": 2}
 
 
+def test_mesh_from_config():
+    """MeshConfig → Mesh: explicit degrees honored, auto DP clamps to the
+    batch divisor (the Trainer default path)."""
+    from vqa_tpu.parallel.mesh import mesh_from_config
+    from vqa_tpu.utils.config import MeshConfig
+
+    m = mesh_from_config(MeshConfig(data_parallel=4, model_parallel=2))
+    assert m.shape == {"data": 4, "model": 2}
+    m = mesh_from_config(MeshConfig())  # auto: all devices on data
+    assert m.shape == {"data": 8, "model": 1}
+    m = mesh_from_config(MeshConfig(), batch_divisor=4)
+    assert m.shape == {"data": 4, "model": 1}
+    m = mesh_from_config(MeshConfig(model_parallel=2), batch_divisor=6)
+    assert m.shape == {"data": 2, "model": 2}
+    with pytest.raises(ValueError):
+        mesh_from_config(MeshConfig(model_parallel=3))
+
+
+def test_cli_flags_drive_dp_tp(monkeypatch, tmp_path):
+    """--data-parallel/--model-parallel on the train CLI produce a dp×tp
+    Trainer mesh and a full (tiny) training run executes on it — multi-chip
+    really is a flag change (VERDICT r1 item 1)."""
+    from vqa_tpu.training import train as train_mod
+    from vqa_tpu.utils.config import MESH
+
+    # restore the MESH singleton fields mutated by main()
+    monkeypatch.setattr(MESH, "data_parallel", MESH.data_parallel)
+    monkeypatch.setattr(MESH, "model_parallel", MESH.model_parallel)
+
+    captured = {}
+    orig_init = train_mod.Trainer.__init__
+
+    def spy(self, *a, **kw):
+        orig_init(self, *a, **kw)
+        captured["mesh"] = self.mesh
+
+    monkeypatch.setattr(train_mod.Trainer, "__init__", spy)
+    logger = train_mod.main([
+        "--tiny", "--demo", "--epochs", "1", "--batch-size", "8",
+        "--subset-size", "16", "--data-parallel", "4",
+        "--model-parallel", "2", "--no-save",
+        "--checkpoint-dir", str(tmp_path),
+    ])
+    assert captured["mesh"].shape == {"data": 4, "model": 2}
+    assert np.isfinite(logger.history["train_loss"][0])
+
+
 def test_param_spec_rules():
     assert param_spec("params/text_encoder/layer0/self_attention/W_q/kernel") == P(None, "model")
     assert param_spec("params/text_encoder/layer0/self_attention/W_o/kernel") == P("model", None)

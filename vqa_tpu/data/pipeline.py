@@ -22,10 +22,20 @@ _SENTINEL = object()
 
 
 def _device_put_batch(batch: dict, sharding=None) -> dict:
+    # Multi-process (one process per pod host): the loader on each host
+    # yields only its local slice of the global batch; assemble the global
+    # jax.Array from the per-process shards. Single-process: plain
+    # device_put against the (possibly multi-device) sharding.
+    multiprocess = sharding is not None and jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
-            out[k] = jax.device_put(v, sharding) if sharding is not None else jax.device_put(v)
+            if multiprocess:
+                out[k] = jax.make_array_from_process_local_data(sharding, v)
+            elif sharding is not None:
+                out[k] = jax.device_put(v, sharding)
+            else:
+                out[k] = jax.device_put(v)
         else:
             out[k] = v
     return out

@@ -49,6 +49,37 @@ def create_mesh(
     return Mesh(grid, (data_axis, model_axis))
 
 
+def mesh_from_config(cfg=None, batch_divisor: Optional[int] = None) -> Mesh:
+    """Build the mesh described by a ``MeshConfig`` (defaults to the global
+    ``MESH`` singleton) — the path the Trainer/CLIs use, so parallelism is a
+    config/flag change, not a code change.
+
+    ``data_parallel=-1`` (auto) uses every device not consumed by
+    ``model_parallel``; when ``batch_divisor`` is given the auto DP degree is
+    clamped to a divisor of it so sharded batches always split evenly.
+    """
+    import math
+
+    from vqa_tpu.utils.config import MESH
+
+    cfg = cfg or MESH
+    n_dev = len(jax.devices())
+    mp = max(cfg.model_parallel, 1)
+    if n_dev % mp != 0:
+        raise ValueError(f"model_parallel={mp} does not divide {n_dev} devices")
+    dp = cfg.data_parallel
+    if dp <= 0:
+        dp = n_dev // mp
+        if batch_divisor:
+            dp = math.gcd(dp, batch_divisor) or 1
+    return create_mesh(
+        data_parallel=dp,
+        model_parallel=mp,
+        data_axis=cfg.data_axis,
+        model_axis=cfg.model_axis,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tensor-parallel parameter partition rules
 # ---------------------------------------------------------------------------

@@ -34,11 +34,7 @@ from flax.training import train_state
 from vqa_tpu.data.dataset import create_demo_loaders, create_train_val_loaders
 from vqa_tpu.data.pipeline import prefetch_to_device
 from vqa_tpu.models import create_vqa_model, init_vqa_model
-from vqa_tpu.parallel.mesh import (
-    create_mesh,
-    data_sharding,
-    shard_variables,
-)
+from vqa_tpu.parallel.mesh import data_sharding, shard_variables
 from vqa_tpu.training import checkpoint as ckpt_lib
 from vqa_tpu.utils.config import ModelConfig, TrainingConfig
 from vqa_tpu.utils.metrics import MetricsLogger, topk_correct, topk_flags
@@ -156,6 +152,7 @@ class Trainer:
         val_loader,
         config: Optional[TrainingConfig] = None,
         mesh=None,
+        mesh_config=None,
         checkpoint_dir: Optional[str] = None,
         save_checkpoints: bool = True,
         seed: int = 42,
@@ -166,15 +163,19 @@ class Trainer:
         self.train_loader = train_loader
         self.val_loader = val_loader
         if mesh is None:
-            # data-parallel degree must divide every batch dimension
+            # Build from MeshConfig (global MESH unless one is passed) so
+            # dp/tp degree is a config/flag change. In auto mode (-1) the
+            # data-parallel degree is clamped to divide the batch size.
             import math
+
+            from vqa_tpu.parallel.mesh import mesh_from_config
 
             n_dev = len(jax.devices())
             bs = math.gcd(
                 getattr(train_loader, "batch_size", n_dev),
                 getattr(val_loader, "batch_size", n_dev),
             )
-            mesh = create_mesh(data_parallel=math.gcd(bs, n_dev))
+            mesh = mesh_from_config(mesh_config, batch_divisor=bs)
         self.mesh = mesh
         self.checkpoint_dir = checkpoint_dir
         self.save_checkpoints = save_checkpoints and checkpoint_dir is not None
@@ -444,19 +445,47 @@ def parse_args(argv=None):
     p.add_argument("--device-aug", action="store_true",
                    help="run train-time augmentation on-device (uint8 "
                         "batches from the loader, crop/flip/jitter in XLA)")
+    # parallelism (MeshConfig; SURVEY.md §2.6 — the reference has none)
+    p.add_argument("--data-parallel", type=int, default=None,
+                   help="devices on the data mesh axis (-1 = all remaining; "
+                        "default: MeshConfig)")
+    p.add_argument("--model-parallel", type=int, default=None,
+                   help="devices on the model (tensor-parallel) mesh axis")
+    # multi-host: one process per pod host (jax.distributed.initialize)
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port for multi-host runs "
+                        "(TPU pods auto-detect; also honors "
+                        "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                        "JAX_PROCESS_ID)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p.parse_args(argv)
 
 
 def main(argv=None):
+    from vqa_tpu.parallel import distributed
     from vqa_tpu.utils.cache import enable_compilation_cache
-    from vqa_tpu.utils.config import PATHS
+    from vqa_tpu.utils.config import MESH, PATHS
 
-    enable_compilation_cache()
     args = parse_args(argv)
+    # multi-host init MUST precede the first backend touch
+    distributed.initialize(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    enable_compilation_cache()
+    if args.data_parallel is not None:
+        MESH.data_parallel = args.data_parallel
+    if args.model_parallel is not None:
+        MESH.model_parallel = args.model_parallel
+    # each host's loader yields its per-process slice of the global batch
+    # (data.pipeline assembles the global array from the local shards)
+    per_process_bs = distributed.local_batch_size(args.batch_size)
 
     tcfg = TrainingConfig(
         num_samples=args.subset_size,
-        batch_size=args.batch_size,
+        batch_size=per_process_bs,
         learning_rate=args.lr,
         weight_decay=args.weight_decay,
         num_epochs=args.epochs,
@@ -548,7 +577,9 @@ def main(argv=None):
     variables = init_vqa_model(model, jax.random.PRNGKey(tcfg.seed))
 
     ckpt_dir = args.checkpoint_dir or PATHS.checkpoint_dir
-    if not args.no_save:  # vocab artifacts honor --no-save too
+    # JSON artifacts are primary-host-only (every pod host runs this script;
+    # Orbax checkpoint saves stay all-process — they coordinate internally)
+    if not args.no_save and distributed.is_primary():
         if tokenizer is not None:
             tokenizer.save(os.path.join(ckpt_dir, "tokenizer.json"))
         if answer_vocab is not None:
@@ -567,9 +598,10 @@ def main(argv=None):
 
     logger = trainer.train(patience=args.patience)
 
-    hist_path = os.path.join(ckpt_dir, "training_history.json")
-    logger.save(hist_path)
-    print(f"[Trainer] history → {hist_path}")
+    if distributed.is_primary():
+        hist_path = os.path.join(ckpt_dir, "training_history.json")
+        logger.save(hist_path)
+        print(f"[Trainer] history → {hist_path}")
     return logger
 
 

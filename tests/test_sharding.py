@@ -179,6 +179,58 @@ def test_dp_tp_train_step_executes():
     assert np.isfinite(float(m2["loss"]))
 
 
+def test_bn_under_dp_matches_single_device():
+    """BatchNorm semantics under data parallelism are GLOBAL-batch
+    (SURVEY.md §7 'decide and document'): one dp8 train step on a fixed
+    global batch produces the same loss AND the same updated batch_stats
+    as the identical step on one device. The train step is a single jitted
+    GSPMD program, so the BN mean/var are computed over the full global
+    batch — XLA inserts the cross-replica reductions; there is no
+    per-device-stats divergence like torch's non-Sync BatchNorm under DDP
+    (the reference is single-device so the question never arises there)."""
+    from vqa_tpu.training.train import TrainState, make_optimizer, make_train_step
+    from vqa_tpu.utils.config import TrainingConfig
+
+    model = create_vqa_model(**TINY)
+    tx, _ = make_optimizer(TrainingConfig(warmup_epochs=0), 10)
+
+    def one_step(mesh):
+        # fresh init per run: the train step donates the state buffers
+        variables = init_vqa_model(model, jax.random.PRNGKey(0))
+        vs = shard_variables(variables, mesh) if mesh else variables
+        state = TrainState.create(
+            apply_fn=model.apply, params=vs["params"], tx=tx,
+            batch_stats=vs["batch_stats"],
+        )
+        rng = np.random.default_rng(7)
+        images = jnp.asarray(rng.normal(size=(16, 32, 32, 3)), jnp.float32)
+        ids = jnp.asarray(rng.integers(4, 64, size=(16, 6)), jnp.int32)
+        mask = jnp.ones((16, 6), jnp.int32)
+        labels = jnp.asarray(rng.integers(0, 16, size=(16,)), jnp.int32)
+        if mesh:
+            bs = data_sharding(mesh)
+            images, ids, mask, labels = (
+                jax.device_put(x, bs) for x in (images, ids, mask, labels)
+            )
+        # dropout disabled is not needed: same fold_in(rng, step) on the
+        # same global program → identical dropout mask either way
+        state2, m = make_train_step(model)(
+            state, images, ids, mask, labels, jax.random.PRNGKey(3)
+        )
+        return float(m["loss"]), state2.batch_stats
+
+    loss_1dev, stats_1dev = one_step(None)
+    loss_dp8, stats_dp8 = one_step(create_mesh(data_parallel=8))
+    assert abs(loss_1dev - loss_dp8) < 2e-5
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+        ),
+        stats_1dev,
+        stats_dp8,
+    )
+
+
 def test_prefetch_with_sharding():
     mesh = create_mesh(data_parallel=8)
     batches = [

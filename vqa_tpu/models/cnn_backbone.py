@@ -11,6 +11,15 @@ BN+ReLU+attention epilogues.
 Output: [B, 7, 7, 512] feature map (the reference's [B, 512, 7, 7],
 transposed to NHWC) — spatial structure preserved for cross-attention,
 no global pooling.
+
+BatchNorm under data parallelism: the train step is ONE jitted GSPMD
+program, so BN batch statistics are computed over the GLOBAL batch — XLA
+inserts the cross-replica reductions when the batch is sharded over the
+``data`` mesh axis. Semantics are therefore identical at any DP degree
+(equivalent to torch SyncBatchNorm, stronger than the reference's
+single-device BN which would silently become per-device stats under DDP).
+Proven by ``tests/test_sharding.py::test_bn_under_dp_matches_single_device``:
+one dp8 step reproduces the single-device loss and updated batch_stats.
 """
 
 from __future__ import annotations

@@ -28,6 +28,45 @@ def _ckpt_dir(base: str, name: str) -> str:
     return os.path.join(os.path.abspath(base), name)
 
 
+def _remove(path: str) -> None:
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+
+
+def _swap_into_place(tmp: str, path: str) -> None:
+    """Atomically-enough replace ``path`` (+ sidecar) with ``tmp``: the
+    previous checkpoint stays readable for the entire (slow) save — the
+    unsafe window shrinks from the whole Orbax write to two renames, and
+    ``_recover`` undoes a crash inside that window on the next load.
+    The reference has the same hole at full width: ``torch.save`` writes
+    over the live file in place (reference: training/train.py:280-294)."""
+    old = path + ".old"
+    for p in (old, old + ".meta.json"):
+        _remove(p)
+    if os.path.exists(path):
+        os.rename(path, old)
+        if os.path.exists(path + ".meta.json"):
+            os.rename(path + ".meta.json", old + ".meta.json")
+    os.rename(tmp, path)
+    os.rename(tmp + ".meta.json", path + ".meta.json")
+    for p in (old, old + ".meta.json"):
+        _remove(p)
+
+
+def _recover(path: str) -> None:
+    """If a crash hit between ``_swap_into_place``'s renames, the previous
+    checkpoint survives as ``<path>.old`` — restore it."""
+    old = path + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        if not os.path.exists(path + ".meta.json") and os.path.exists(
+            old + ".meta.json"
+        ):
+            os.rename(old + ".meta.json", path + ".meta.json")
+
+
 def save_checkpoint(
     base_dir: str,
     name: str,
@@ -35,18 +74,26 @@ def save_checkpoint(
     model_config: ModelConfig,
     meta: Dict[str, Any],
 ) -> str:
-    """Save a checkpoint tree + sidecar meta JSON. Returns the path."""
+    """Save a checkpoint tree + sidecar meta JSON, crash-safely: the tree is
+    written to a temp dir and swapped in with renames, so a failure mid-save
+    never destroys the previous checkpoint. Returns the path."""
     path = _ckpt_dir(base_dir, name)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, train_state_tree)
-    with open(path + ".meta.json", "w", encoding="utf-8") as f:
-        json.dump(
-            {"config": model_config_dict(model_config), "meta": meta},
-            f,
-            indent=2,
-        )
+    tmp = path + ".tmp"
+    for p in (tmp, tmp + ".meta.json"):
+        _remove(p)
+    try:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(tmp, train_state_tree)
+        with open(tmp + ".meta.json", "w", encoding="utf-8") as f:
+            json.dump(
+                {"config": model_config_dict(model_config), "meta": meta},
+                f,
+                indent=2,
+            )
+        _swap_into_place(tmp, path)
+    finally:
+        for p in (tmp, tmp + ".meta.json"):
+            _remove(p)
     return path
 
 
@@ -58,6 +105,7 @@ def load_checkpoint(
     """Load (tree, model_config, meta). ``target_tree`` provides the
     structure/shardings for restoration (required for opt_state etc.)."""
     path = _ckpt_dir(base_dir, name)
+    _recover(path)
     with ocp.StandardCheckpointer() as ckptr:
         if target_tree is not None:
             abstract = jax.tree_util.tree_map(
@@ -73,15 +121,24 @@ def load_checkpoint(
 
 def save_best_copy(base_dir: str, src_name: str = "latest",
                    best_name: str = "best_model") -> None:
-    """Copy the latest checkpoint as best (reference: training/train.py:297-300)."""
+    """Copy the latest checkpoint as best (reference: training/train.py:297-300),
+    crash-safely: copy to a temp dir, then swap in with renames so the
+    previous best stays readable throughout."""
     src, dst = _ckpt_dir(base_dir, src_name), _ckpt_dir(base_dir, best_name)
-    if os.path.exists(dst):
-        shutil.rmtree(dst)
-    shutil.copytree(src, dst)
-    shutil.copyfile(src + ".meta.json", dst + ".meta.json")
+    tmp = dst + ".tmp"
+    for p in (tmp, tmp + ".meta.json"):
+        _remove(p)
+    try:
+        shutil.copytree(src, tmp)
+        shutil.copyfile(src + ".meta.json", tmp + ".meta.json")
+        _swap_into_place(tmp, dst)
+    finally:
+        for p in (tmp, tmp + ".meta.json"):
+            _remove(p)
 
 
 def checkpoint_exists(base_dir: str, name: str) -> bool:
+    _recover(_ckpt_dir(base_dir, name))
     return os.path.exists(_ckpt_dir(base_dir, name)) and os.path.exists(
         _ckpt_dir(base_dir, name) + ".meta.json"
     )
@@ -94,6 +151,7 @@ def load_model_for_inference(base_dir: str, name: str = "best_model"):
     from vqa_tpu.models import create_vqa_model
 
     path = _ckpt_dir(base_dir, name)
+    _recover(path)
     with open(path + ".meta.json", "r", encoding="utf-8") as f:
         sidecar = json.load(f)
     cfg = model_config_from_dict(sidecar["config"])

@@ -277,3 +277,38 @@ def test_sigterm_saves_interrupted_checkpoint(tmp_path):
     assert os.path.exists(os.path.join(tmp_path, "interrupted.meta.json"))
     # the previous SIGTERM handler is restored on exit
     assert _signal.getsignal(_signal.SIGTERM) == before
+
+
+def test_evaluate_cli_synthetic_reuses_split_and_embeds_samples(tmp_path):
+    """End-to-end train→evaluate CLI on synthetic data: the evaluator
+    rebuilds the EXACT val split persisted in the checkpoint sidecar (no
+    train/val overlap regardless of --max-samples), decodes with the
+    synthetic vocab, and embeds sample_predictions in the results artifact
+    (reference: training/evaluate.py:386-389)."""
+    import json
+
+    from vqa_tpu.training import evaluate as eval_mod
+    from vqa_tpu.training import train as train_mod
+
+    train_mod.main([
+        "--synthetic", "--tiny", "--epochs", "1", "--batch-size", "8",
+        "--subset-size", "64", "--patience", "1",
+        "--checkpoint-dir", str(tmp_path),
+    ])
+    # default --max-samples is 5000: without the persisted split spec the
+    # evaluator would rebuild with num_samples=5000 and score trained-on
+    # scenes; with it, the val split is exactly indices [51, 64)
+    results = eval_mod.main([
+        "--checkpoint-dir", str(tmp_path), "--synthetic", "--batch-size", "8",
+    ])
+    assert results["num_samples"] == 64 - int(64 * 0.8)
+    sp = results["sample_predictions"]
+    assert sp
+    assert {"target", "top5_indices", "top5_probs", "question",
+            "target_answer", "top5_answers"} <= set(sp[0])
+    # decoded labels come from the synthetic answer set
+    from vqa_tpu.data.synthetic import ANSWERS
+    assert sp[0]["target_answer"] in ANSWERS
+    with open(os.path.join(tmp_path, "evaluation_results.json")) as f:
+        artifact = json.load(f)
+    assert "sample_predictions" in artifact

@@ -119,6 +119,15 @@ def load_checkpoint(
     return tree, model_config_from_dict(sidecar["config"]), sidecar["meta"]
 
 
+def load_checkpoint_meta(base_dir: str, name: str) -> Dict[str, Any]:
+    """Sidecar metadata only (epoch, best acc, history, run provenance like
+    the --synthetic dataset spec) — no tensor restore."""
+    path = _ckpt_dir(base_dir, name)
+    _recover(path)
+    with open(path + ".meta.json", "r", encoding="utf-8") as f:
+        return json.load(f)["meta"]
+
+
 def save_best_copy(base_dir: str, src_name: str = "latest",
                    best_name: str = "best_model") -> None:
     """Copy the latest checkpoint as best (reference: training/train.py:297-300),

@@ -259,13 +259,42 @@ def main(argv=None):
     have_real = all(p and os.path.exists(p) for p in real_paths)
     if args.synthetic:
         from vqa_tpu.data.synthetic import create_synthetic_loaders
+        from vqa_tpu.training.checkpoint import load_checkpoint_meta
 
-        _, loader, _, _ = create_synthetic_loaders(
-            num_samples=max(args.max_samples, 64),
+        # Rebuild the EXACT val split of the training run: scenes are
+        # deterministic per (seed, index), so a split rebuilt with a
+        # different num_samples would lie inside the training index range
+        # (trained-on scenes scored as 'val'). The spec rides in the
+        # checkpoint sidecar (Trainer run_meta).
+        syn_spec = (load_checkpoint_meta(args.checkpoint_dir, name) or {}).get(
+            "synthetic"
+        )
+        if syn_spec:
+            num_samples, seed = int(syn_spec["num_samples"]), int(syn_spec["seed"])
+        else:
+            num_samples, seed = max(args.max_samples, 64), 42
+            print(
+                "[Evaluator] WARNING: checkpoint has no synthetic-split "
+                "metadata (pre-r2 or non-synthetic training run); the "
+                "rebuilt val split may overlap the training scenes"
+            )
+        _, loader, syn_tok, syn_vocab = create_synthetic_loaders(
+            num_samples=num_samples,
             eval_batch_size=args.batch_size,
             image_size=cfg.image_size,
             max_question_length=cfg.max_question_length,
+            seed=seed,
         )
+        # decode with the SAME vocab that labeled the loader — a stale
+        # answer_vocab.json (e.g. real-data checkpoint evaluated with
+        # --synthetic) would silently mislabel indices
+        if answer_vocab is not None and answer_vocab.answer2idx != syn_vocab.answer2idx:
+            print(
+                "[Evaluator] WARNING: checkpoint answer vocab differs from "
+                "the synthetic answer set — decoding with the synthetic vocab"
+            )
+        answer_vocab = syn_vocab
+        tokenizer = syn_tok
     elif args.demo or not have_real:
         if not args.demo and any(real_paths):
             print("[Evaluator] real-data paths missing/incomplete — demo data")
@@ -290,6 +319,9 @@ def main(argv=None):
 
     ev = Evaluator(model, variables, answer_vocab)
     results = ev.evaluate(loader)
+    # decoded sample top-5 predictions ride in the results artifact
+    # (reference: training/evaluate.py:386-389)
+    results["sample_predictions"] = ev.sample_predictions(loader, tokenizer)
     report = ev.generate_report(results)
     print(report)
 

@@ -157,6 +157,7 @@ class Trainer:
         save_checkpoints: bool = True,
         seed: int = 42,
         profile_dir: Optional[str] = None,
+        run_meta: Optional[Dict[str, Any]] = None,
     ):
         self.model = model
         self.cfg = config or TrainingConfig()
@@ -214,6 +215,9 @@ class Trainer:
         # keeps its no-per-step-sync pipelining.
         self.profile_dir = profile_dir
         self.step_timer = StepTimer()
+        # run provenance persisted into every checkpoint sidecar (e.g. the
+        # --synthetic dataset spec, so evaluation rebuilds the exact split)
+        self.run_meta = dict(run_meta or {})
 
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> Dict[str, float]:
@@ -316,6 +320,7 @@ class Trainer:
                 "epoch": epoch,
                 "best_val_accuracy": self.best_val_accuracy,
                 "metrics_history": self.logger.to_dict(),
+                **self.run_meta,
             },
         )
 
@@ -508,14 +513,20 @@ def main(argv=None):
         )
 
     tokenizer = answer_vocab = None
+    run_meta: Dict[str, Any] = {}
     if args.synthetic:
         import dataclasses
 
         from vqa_tpu.data.synthetic import create_synthetic_loaders
 
+        syn_samples = min(tcfg.num_samples, 20000)
+        # persisted so `evaluate --synthetic` reconstructs the EXACT val
+        # split — scenes are deterministic per (seed, index), and a split
+        # rebuilt with different num_samples would overlap the train range
+        run_meta["synthetic"] = {"num_samples": syn_samples, "seed": tcfg.seed}
         train_loader, val_loader, tokenizer, answer_vocab = (
             create_synthetic_loaders(
-                num_samples=min(tcfg.num_samples, 20000),
+                num_samples=syn_samples,
                 batch_size=tcfg.batch_size,
                 eval_batch_size=tcfg.eval_batch_size,
                 image_size=mcfg.image_size,
@@ -592,6 +603,7 @@ def main(argv=None):
         save_checkpoints=not args.no_save,
         seed=tcfg.seed,
         profile_dir=args.profile_dir,
+        run_meta=run_meta,
     )
     if args.resume:
         trainer.resume(args.resume)

@@ -347,13 +347,110 @@ def test_batcher_under_concurrent_load(engine):
     assert stats["batches"] < 50, "requests were never actually batched"
 
 
-def test_engine_bucket_beyond_largest(engine):
-    """n larger than every configured bucket pads to the next power of two."""
-    assert engine._bucket(5) > 4  # within configured (1, 4) + pow2 fallback
+def test_engine_oversized_batch_chunks_into_warmed_buckets(engine, monkeypatch):
+    """n larger than every configured bucket is chunked host-side into
+    max-bucket slices — only warmed bucket shapes ever reach the compiled
+    forward, so an oversized request can never trigger a request-time XLA
+    compile (VERDICT r1 item 7)."""
+    with pytest.raises(AssertionError):
+        engine._bucket(5)  # callers must chunk first
+
+    shapes_seen = []
+    real_forward = engine._forward
+
+    def spying_forward(variables, pixels, ids, mask):
+        shapes_seen.append(int(pixels.shape[0]))
+        return real_forward(variables, pixels, ids, mask)
+
+    monkeypatch.setattr(engine, "_forward", spying_forward)
     n = 6
-    probs = engine.predict_batch_raw(
-        [_png_bytes(color=(i * 30, 90, 90)) for i in range(n)],
-        ["what color is it"] * n,
-    )
+    imgs = [_png_bytes(color=(i * 30, 90, 90)) for i in range(n)]
+    qs = ["what color is it"] * n
+    probs = engine.predict_batch_raw(imgs, qs)
     assert probs.shape == (n, TINY_CFG.num_answers)
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+    assert set(shapes_seen) <= {1, 4}, shapes_seen  # configured buckets only
+    monkeypatch.undo()
+    # chunked result identical to per-image results
+    singles = np.concatenate(
+        [engine.predict_batch_raw([im], [q]) for im, q in zip(imgs, qs)]
+    )
+    np.testing.assert_allclose(probs, singles, atol=2e-3)
+
+
+def test_engine_multichip_dp_matches_single_device():
+    """An engine given a dp mesh shards bucket batches over 'data' and
+    produces the same probabilities as the single-device engine
+    (VERDICT r1 item 8)."""
+    from vqa_tpu.parallel.mesh import create_mesh
+
+    cfg = InferenceConfig(batch_buckets=(1, 4))
+    base = VQAInference(model_config=TINY_CFG, config=cfg).load()
+    mesh = create_mesh(data_parallel=8)
+    sharded = VQAInference(
+        model_config=TINY_CFG, config=cfg, mesh=mesh
+    ).load()
+    # dp=8 rounds the (1, 4) buckets up to (8,)
+    assert sharded._effective_buckets() == [8]
+
+    imgs = [_png_bytes(color=(i * 35, 60, 120)) for i in range(5)]
+    qs = ["what color is this"] * 5
+    p0 = base.predict_batch_raw(imgs, qs)
+    p1 = sharded.predict_batch_raw(imgs, qs)
+    assert p1.shape == (5, TINY_CFG.num_answers)
+    np.testing.assert_allclose(p1, p0, atol=2e-4, rtol=2e-4)
+
+
+def test_predict_batch_request_cap(engine):
+    """/predict-batch rejects requests above max_request_batch with a 400
+    (bounded per-request work; ADVICE r1)."""
+    server = VQAServer(
+        engine=engine, preload=False,
+        config=InferenceConfig(max_request_batch=4),
+    )
+    png = _png_bytes()
+    fields = {
+        "images": [("f.png", png)] * 5,
+        "questions": [(None, b"what is this,what is this,what is this,"
+                             b"what is this,what is this")],
+    }
+    status, payload = server.handle_predict_batch(fields)
+    server.batcher.shutdown()
+    assert status == 400
+    assert "exceeds the maximum" in payload["detail"]
+
+
+def test_response_schemas_validate_and_reject():
+    from vqa_tpu.serving import schemas
+
+    good = {
+        "question": "what is this",
+        "answers": [{"answer": "cat", "probability": 0.9, "index": 3}],
+        "top_answer": "cat",
+        "confidence": 0.9,
+        "success": True,
+        "error": None,
+    }
+    assert schemas.validate_prediction(good) is good
+    with pytest.raises(schemas.SchemaError):
+        schemas.validate_prediction({**good, "confidence": "high"})
+    with pytest.raises(schemas.SchemaError):
+        schemas.validate_prediction({**good, "answers": [{"answer": "cat"}]})
+    with pytest.raises(schemas.SchemaError):  # success with no answers
+        schemas.validate_prediction({**good, "answers": []})
+    with pytest.raises(schemas.SchemaError):  # probability out of range
+        schemas.validate_prediction(
+            {**good, "answers": [{"answer": "x", "probability": 1.5,
+                                  "index": 0}]}
+        )
+    assert schemas.validate_health({"status": "healthy", "model_loaded": True})
+    with pytest.raises(schemas.SchemaError):
+        schemas.validate_health({"status": "healthy", "model_loaded": "yes"})
+    assert schemas.validate_batch_prediction(
+        {"success": True, "predictions": [
+            {"question": "q", "top_answer": "a", "confidence": 0.5,
+             "answers": [{"answer": "a", "probability": 0.5, "index": 1}]},
+        ]}
+    )
+    with pytest.raises(schemas.SchemaError):
+        schemas.validate_batch_prediction({"success": True, "predictions": [{}]})

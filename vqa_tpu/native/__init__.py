@@ -35,17 +35,30 @@ _lock = threading.Lock()
 
 
 def _build() -> bool:
+    # Compile to a private temp file and rename() into place: rename is
+    # atomic on POSIX, so a concurrent process (server + tests, or a
+    # source-mtime rebuild) can never CDLL a partially written .so.
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(
+        suffix=".so", prefix=".libvqa_preprocess.", dir=os.path.dirname(_SO)
+    )
+    os.close(fd)
     try:
         subprocess.run(
             ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-             "-o", _SO, _SRC],
+             "-o", tmp, _SRC],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.rename(tmp, _SO)
         return True
     except Exception:
         return False
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def _load() -> Optional[ctypes.CDLL]:

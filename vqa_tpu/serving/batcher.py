@@ -111,18 +111,29 @@ class MicroBatcher:
             group = self._collect()
             if not group:
                 continue
-            # per-request decode isolation: one corrupt upload must fail
-            # only its own request, not every concurrent caller batched
-            # with it (the reference is one-forward-per-request and so
-            # isolates for free; this preserves that contract)
+            # Fast path: decode/resize the whole group in ONE batched call
+            # (keeps the native thread-pool resize parallelism on the hot
+            # path). Only if the batch fails do we fall back to per-request
+            # isolation, so one corrupt upload still fails only its own
+            # request, not every concurrent caller batched with it (the
+            # reference is one-forward-per-request and isolates for free).
             good: List[_Request] = []
             pixels: List[Any] = []
-            for r in group:
-                try:
-                    pixels.append(self.engine._preprocess_images([r.image])[0])
-                    good.append(r)
-                except Exception as e:
-                    r.error = e
+            try:
+                batch_pixels = self.engine._preprocess_images(
+                    [r.image for r in group]
+                )
+                good = list(group)
+                pixels = list(batch_pixels)
+            except Exception:
+                for r in group:
+                    try:
+                        pixels.append(
+                            self.engine._preprocess_images([r.image])[0]
+                        )
+                        good.append(r)
+                    except Exception as e:
+                        r.error = e
             try:
                 if good:
                     probs = self.engine.predict_probs_from_pixels(

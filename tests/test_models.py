@@ -300,3 +300,35 @@ def test_top_level_api_exports():
 
     with _pytest.raises(AttributeError):
         vqa_tpu.not_a_thing
+
+
+def test_stage_channels_config_is_honored():
+    """ModelConfig.stage_channels drives the backbone widths (regression:
+    the backbone used to derive widths from base_channels only, leaving
+    stage_channels as dead config)."""
+    import jax
+
+    from vqa_tpu.models import count_parameters, create_vqa_model, init_vqa_model
+
+    tiny = dict(
+        vocab_size=50, embed_dim=16, num_answers=8,
+        num_transformer_layers=1, num_attention_heads=2, ffn_hidden_dim=32,
+        max_question_length=6, image_size=32, base_channels=8,
+        feature_spatial_size=1,
+    )
+    m1 = create_vqa_model(**tiny, stage_channels=(8, 16, 32, 64))
+    m2 = create_vqa_model(**tiny, stage_channels=(16, 16, 32, 64))
+    n1 = count_parameters(init_vqa_model(m1, jax.random.PRNGKey(0)))["total"]
+    n2 = count_parameters(init_vqa_model(m2, jax.random.PRNGKey(0)))["total"]
+    assert n2 > n1
+    # widths not equal to base*(1,2,4,8) still produce the right feature dim
+    import numpy as np
+    logits, _ = jax.jit(
+        lambda v, im, i, k: m2.apply(v, im, i, k, train=False)
+    )(
+        init_vqa_model(m2, jax.random.PRNGKey(0)),
+        np.zeros((2, 32, 32, 3), np.float32),
+        np.ones((2, 6), np.int32),
+        np.ones((2, 6), np.int32),
+    )
+    assert logits.shape == (2, 8)

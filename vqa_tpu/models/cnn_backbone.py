@@ -222,6 +222,9 @@ class CustomResNet(nn.Module):
 
     in_channels: int = 3
     base_channels: int = 64
+    # per-stage widths; None derives the classic (1, 2, 4, 8)·base ramp
+    # (reference knob: utils/config.py cnn_channels=[64,128,256,512])
+    stage_channels: Tuple[int, int, int, int] = None
     num_blocks: Tuple[int, int, int, int] = (2, 2, 2, 2)
     use_se: bool = True
     use_spatial: bool = True
@@ -229,13 +232,18 @@ class CustomResNet(nn.Module):
     stem_s2d: bool = False
     dtype: jnp.dtype = jnp.float32
 
+    def _channels(self):
+        if self.stage_channels is not None:
+            return list(self.stage_channels)
+        return [self.base_channels * m for m in (1, 2, 4, 8)]
+
     @property
     def output_channels(self) -> int:
-        return self.base_channels * 8
+        return self._channels()[-1]
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        c = [self.base_channels * m for m in (1, 2, 4, 8)]
+        c = self._channels()
 
         # Stem: 7×7/2 conv + BN + ReLU + 3×3/2 maxpool
         x = StemConv(c[0], s2d=self.stem_s2d, dtype=self.dtype,

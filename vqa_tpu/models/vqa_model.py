@@ -79,6 +79,7 @@ class VQAModel(nn.Module):
         image_features = CustomResNet(
             in_channels=cfg.in_channels,
             base_channels=cfg.base_channels,
+            stage_channels=tuple(cfg.stage_channels),
             num_blocks=tuple(cfg.blocks_per_stage),
             use_se=cfg.use_se_attention,
             use_spatial=cfg.use_spatial_attention,

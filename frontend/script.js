@@ -10,18 +10,27 @@ const MAX_FILE_MB = 10;
 const el = (id) => document.getElementById(id);
 let currentFile = null;
 
-// ---- health check on load -------------------------------------------------
+// ---- health check: on load + periodic retry while offline ------------------
+// (offline banner parity: reference frontend/script.js:353-368)
+let healthTimer = null;
 async function checkHealth() {
+  const h = el("health");
   try {
     const r = await fetch(`${API_BASE}/health`);
     const j = await r.json();
-    el("health").classList.add(j.status === "healthy" ? "ok" : "bad");
-    el("health").title = j.model_loaded
+    h.classList.remove("bad");
+    h.classList.add(j.status === "healthy" ? "ok" : "bad");
+    h.title = j.model_loaded
       ? "API healthy · trained model loaded"
       : "API healthy · random model (no checkpoint)";
+    el("offline-banner").hidden = true;
+    if (healthTimer) { clearInterval(healthTimer); healthTimer = null; }
   } catch {
-    el("health").classList.add("bad");
-    el("health").title = "API unreachable";
+    h.classList.remove("ok");
+    h.classList.add("bad");
+    h.title = "API unreachable";
+    el("offline-banner").hidden = false;
+    if (!healthTimer) healthTimer = setInterval(checkHealth, 10000);
   }
 }
 checkHealth();
@@ -71,10 +80,14 @@ el("file-input").addEventListener("change", (e) => setFile(e.target.files[0]));
 document.querySelectorAll(".example").forEach((b) =>
   b.addEventListener("click", () => {
     el("question").value = b.textContent;
+    updateCharCount();
     updateAskButton();
   })
 );
-el("question").addEventListener("input", updateAskButton);
+el("question").addEventListener("input", () => {
+  updateCharCount();
+  updateAskButton();
+});
 el("question").addEventListener("keydown", (e) => {
   if (e.key === "Enter" && !el("ask").disabled) submit();
 });
@@ -82,6 +95,16 @@ el("question").addEventListener("keydown", (e) => {
 function updateAskButton() {
   const q = el("question").value.trim();
   el("ask").disabled = !(currentFile && q.split(/\s+/).length >= 2);
+}
+
+// character counter (reference: frontend/script.js:30-40)
+function updateCharCount() {
+  const input = el("question");
+  const max = input.maxLength > 0 ? input.maxLength : 200;
+  const n = input.value.length;
+  const c = el("char-count");
+  c.textContent = `${n} / ${max}`;
+  c.classList.toggle("near-limit", n >= max * 0.9);
 }
 
 // ---- predict ---------------------------------------------------------------

@@ -312,3 +312,24 @@ def test_evaluate_cli_synthetic_reuses_split_and_embeds_samples(tmp_path):
     with open(os.path.join(tmp_path, "evaluation_results.json")) as f:
         artifact = json.load(f)
     assert "sample_predictions" in artifact
+
+
+def test_shard_for_process_disjoint_equal_cover():
+    """Per-host sample shards are disjoint, equal-length (lockstep), and
+    cover the index set up to the dropped remainder."""
+    from vqa_tpu.data.dataset import BatchLoader, shard_for_process
+
+    ds = DemoVQADataset(num_samples=21, image_size=32,
+                        max_question_length=6, vocab_size=50, num_answers=8)
+    loader = BatchLoader(ds, 4, shuffle=True, drop_last=True, seed=7)
+    shards = [shard_for_process(loader, pi, 4) for pi in range(4)]
+    sets = [set(s.indices.tolist()) for s in shards]
+    assert all(len(s.indices) == 21 // 4 for s in shards)
+    union = set().union(*sets)
+    assert len(union) == sum(len(x) for x in sets)  # disjoint
+    assert union <= set(range(21))
+    # single-process is a no-op (same object)
+    assert shard_for_process(loader, 0, 1) is loader
+    # batches carry the device-reducible pad mask
+    batch = next(iter(shards[0]))
+    assert batch["valid_mask"].tolist() == [1, 1, 1, 1]

@@ -211,6 +211,7 @@ class BatchLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.seed = seed
         self._rng = np.random.default_rng(seed)
         self.indices = (
             np.asarray(indices, np.int64)
@@ -245,6 +246,12 @@ class BatchLoader:
                     [s["answer"] for s in samples], np.int32
                 ),
                 "valid": valid,
+                # per-sample pad mask: lets eval metrics reduce on device
+                # (required under multi-host, where a host can't slice the
+                # global array) — 1 for real samples, 0 for the pad copies
+                "valid_mask": (
+                    np.arange(self.batch_size) < valid
+                ).astype(np.int32),
                 "question_types": [s.get("question_type", "unknown") for s in samples],
             }
             if "annotator_answers" in samples[0]:
@@ -252,6 +259,33 @@ class BatchLoader:
                     [s["annotator_answers"] for s in samples]
                 )
             yield batch
+
+
+def shard_for_process(
+    loader: "BatchLoader",
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> "BatchLoader":
+    """Per-host sample sharding for multi-host pods (the torch
+    DistributedSampler analog, which the single-device reference never
+    needs): each process gets a disjoint stride-slice of the loader's
+    indices and its own shuffle stream, so the global batch assembled by
+    ``data.pipeline`` contains distinct samples. No-op single-process."""
+    import copy
+
+    import jax
+
+    pc = process_count if process_count is not None else jax.process_count()
+    pi = process_index if process_index is not None else jax.process_index()
+    if pc <= 1:
+        return loader
+    sharded = copy.copy(loader)
+    # equal shard length on every host — collectives run in lockstep, so a
+    # host with one extra batch would deadlock the pod on its last step
+    per = len(loader.indices) // pc
+    sharded.indices = loader.indices[pi::pc][:per]
+    sharded._rng = np.random.default_rng(loader.seed + pi)
+    return sharded
 
 
 def create_train_val_loaders(

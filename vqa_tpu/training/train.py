@@ -112,6 +112,37 @@ def make_train_step(model):
     return train_step
 
 
+def make_val_step(model):
+    """Jitted validation step reducing to scalar sums ON DEVICE (pad rows
+    masked by ``valid_mask``). Replicated scalars are readable on every
+    host, so this path works unchanged on multi-host pods — unlike host-side
+    ``[:valid]`` slicing, which cannot touch a non-addressable global array."""
+
+    @jax.jit
+    def val_step(params, batch_stats, images, token_ids, mask, labels,
+                 valid_mask):
+        logits, _ = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            token_ids,
+            mask,
+            train=False,
+        )
+        w = valid_mask.astype(jnp.float32)
+        loss_vec = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels
+        )
+        flags1, flags5 = topk_flags(logits, labels, k=5)
+        return {
+            "loss_sum": jnp.sum(loss_vec * w),
+            "correct1": jnp.sum(flags1 * w),
+            "correct5": jnp.sum(flags5 * w),
+            "n": jnp.sum(w),
+        }
+
+    return val_step
+
+
 def make_eval_step(model):
     """Jitted eval step returning per-sample correctness flags (host slices
     off any padding in the final batch) plus logits for analysis."""
@@ -193,7 +224,7 @@ class Trainer:
             batch_stats=variables.get("batch_stats", {}),
         )
         self.train_step = make_train_step(model)
-        self.eval_step = make_eval_step(model)
+        self.val_step = make_val_step(model)
         self.batch_sharding = data_sharding(self.mesh)
         # on-device augmentation program for uint8 train batches
         # (data.preprocess.device_augment; loaders opt in via device_augment)
@@ -275,23 +306,25 @@ class Trainer:
         }
 
     def validate(self) -> Dict[str, float]:
-        loss_sum, c1, c5, n = 0.0, 0, 0, 0
+        # scalar sums reduced on device per batch (multi-host safe); one
+        # host sync per batch is fine at eval batch sizes
+        loss_sum, c1, c5, n = 0.0, 0.0, 0.0, 0.0
         for batch in prefetch_to_device(
             self.val_loader, sharding=self.batch_sharding
         ):
-            out = self.eval_step(
+            out = self.val_step(
                 self.state.params,
                 self.state.batch_stats,
                 batch["image"],
                 batch["token_ids"],
                 batch["attention_mask"],
                 batch["answer"],
+                batch["valid_mask"],
             )
-            valid = int(batch["valid"])
-            loss_sum += float(jnp.sum(out["loss_vec"][:valid]))
-            c1 += int(jnp.sum(out["correct1"][:valid]))
-            c5 += int(jnp.sum(out["correct5"][:valid]))
-            n += valid
+            loss_sum += float(out["loss_sum"])
+            c1 += float(out["correct1"])
+            c5 += float(out["correct5"])
+            n += float(out["n"])
         n = max(n, 1)
         return {
             "val_loss": loss_sum / n,
@@ -578,6 +611,13 @@ def main(argv=None):
             num_answers=mcfg.num_answers,
             seed=tcfg.seed,
         )
+
+    if distributed.process_count() > 1:
+        # disjoint per-host sample shards (equal length for lockstep steps)
+        from vqa_tpu.data.dataset import shard_for_process
+
+        train_loader = shard_for_process(train_loader)
+        val_loader = shard_for_process(val_loader)
 
     dtype = jnp.bfloat16 if (tcfg.use_bf16 and jax.default_backend() == "tpu") else jnp.float32
     model = create_vqa_model(

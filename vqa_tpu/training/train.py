@@ -650,7 +650,8 @@ def main(argv=None):
 
     logger = trainer.train(patience=args.patience)
 
-    if distributed.is_primary():
+    # history honors --no-save like the reference (training/train.py:558-559)
+    if distributed.is_primary() and not args.no_save:
         hist_path = os.path.join(ckpt_dir, "training_history.json")
         logger.save(hist_path)
         print(f"[Trainer] history → {hist_path}")

@@ -231,6 +231,28 @@ def test_bn_under_dp_matches_single_device():
     )
 
 
+def test_evaluator_dp8_matches_single_device():
+    """Evaluator given a dp8 mesh produces identical metrics to the
+    single-device Evaluator on the same data (multi-chip eval)."""
+    from vqa_tpu.data.dataset import BatchLoader, DemoVQADataset
+    from vqa_tpu.training.evaluate import Evaluator
+
+    model = create_vqa_model(**TINY)
+    variables = init_vqa_model(model, jax.random.PRNGKey(0))
+    ds = DemoVQADataset(num_samples=20, image_size=32,
+                        max_question_length=6, vocab_size=64, num_answers=16)
+    loader = BatchLoader(ds, 8, drop_last=False)
+
+    base = Evaluator(model, variables, None).evaluate(loader)
+    sharded = Evaluator(
+        model, variables, None, mesh=create_mesh(data_parallel=8)
+    ).evaluate(loader)
+    assert sharded["num_samples"] == base["num_samples"] == 20
+    assert abs(sharded["loss"] - base["loss"]) < 1e-4
+    assert sharded["top1_accuracy"] == base["top1_accuracy"]
+    assert sharded["top5_accuracy"] == base["top5_accuracy"]
+
+
 def test_prefetch_with_sharding():
     mesh = create_mesh(data_parallel=8)
     batches = [

@@ -41,7 +41,22 @@ class Evaluator:
     """Full-dataset evaluation with error analysis
     (reference: training/evaluate.py:44-294)."""
 
-    def __init__(self, model, variables, answer_vocab: Optional[AnswerVocabulary] = None):
+    def __init__(
+        self,
+        model,
+        variables,
+        answer_vocab: Optional[AnswerVocabulary] = None,
+        mesh=None,
+    ):
+        # optional multi-chip evaluation: batches shard over the mesh's
+        # 'data' axis, params follow the TP rules (single-process only —
+        # the analysis pulls full per-sample arrays to the host)
+        self._sharding = None
+        if mesh is not None:
+            from vqa_tpu.parallel.mesh import data_sharding, shard_variables
+
+            variables = shard_variables(variables, mesh)
+            self._sharding = data_sharding(mesh)
         self.model = model
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
@@ -57,7 +72,7 @@ class Evaluator:
         type_correct: Dict[str, int] = {}
         soft_sum, soft_n = 0.0, 0
 
-        for batch in prefetch_to_device(loader):
+        for batch in prefetch_to_device(loader, sharding=self._sharding):
             out = self.eval_step(
                 self.params,
                 self.batch_stats,
@@ -220,6 +235,9 @@ def parse_args(argv=None):
                         "(data/synthetic.py; seed-matched to --synthetic "
                         "training)")
     p.add_argument("--output-dir", default=None)
+    # multi-chip evaluation (batches shard over the 'data' mesh axis)
+    p.add_argument("--data-parallel", type=int, default=None)
+    p.add_argument("--model-parallel", type=int, default=None)
     return p.parse_args(argv)
 
 
@@ -317,7 +335,19 @@ def main(argv=None):
         )
         loader = BatchLoader(ds, args.batch_size, drop_last=False)
 
-    ev = Evaluator(model, variables, answer_vocab)
+    mesh = None
+    if args.data_parallel is not None or args.model_parallel is not None:
+        from vqa_tpu.parallel.mesh import mesh_from_config
+        from vqa_tpu.utils.config import MeshConfig
+
+        mesh = mesh_from_config(
+            MeshConfig(
+                data_parallel=args.data_parallel or -1,
+                model_parallel=args.model_parallel or 1,
+            ),
+            batch_divisor=args.batch_size,
+        )
+    ev = Evaluator(model, variables, answer_vocab, mesh=mesh)
     results = ev.evaluate(loader)
     # decoded sample top-5 predictions ride in the results artifact
     # (reference: training/evaluate.py:386-389)

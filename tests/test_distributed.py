@@ -22,7 +22,9 @@ WORKER = r'''
 import os
 import sys
 
-mode, port, pid = sys.argv[1], sys.argv[2], int(sys.argv[3])
+mode, port, pid, ckpt_dir = (
+    sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
+)
 
 import jax
 
@@ -116,6 +118,23 @@ for batch in prefetch_to_device(val_loader, sharding=sh):
     tot_loss += float(out["loss_sum"])
 assert tot_n == 4.0, tot_n  # both hosts' val shards counted exactly once
 assert np.isfinite(tot_loss)
+
+# ---- the ACTUAL train CLI, multi-host: loaders shard per process, the
+# trainer runs on the global mesh, and the checkpoint save coordinates
+# across processes (Orbax all-process write, primary-only sidecar + swap)
+from vqa_tpu.training import checkpoint as ckpt_lib
+from vqa_tpu.training import train as train_mod
+
+train_mod.main([
+    "--demo", "--tiny", "--epochs", "1", "--batch-size", "8",
+    "--subset-size", "16", "--checkpoint-dir", ckpt_dir,
+])
+assert ckpt_lib.checkpoint_exists(ckpt_dir, "latest")
+meta = ckpt_lib.load_checkpoint_meta(ckpt_dir, "latest")
+assert meta["epoch"] == 0
+if pid == 0:  # history is a primary-host-only artifact
+    assert os.path.exists(os.path.join(ckpt_dir, "training_history.json"))
+
 print(f"OK process={pid} sum={s} train_loss={loss:.3f} val_n={tot_n}",
       flush=True)
 '''
@@ -137,9 +156,11 @@ def test_two_process_cpu_cluster(tmp_path):
     env.pop("JAX_COORDINATOR_ADDRESS", None)
     # process 0 initializes via explicit args, process 1 via env vars —
     # both join the same cluster, covering both configuration paths
+    ckpt_dir = str(tmp_path / "ckpt")
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), mode, str(port), str(pid)],
+            [sys.executable, str(script), mode, str(port), str(pid),
+             ckpt_dir],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -147,7 +168,7 @@ def test_two_process_cpu_cluster(tmp_path):
         )
         for pid, mode in ((0, "args"), (1, "env"))
     ]
-    outs = [p.communicate(timeout=240)[0] for p in procs]
+    outs = [p.communicate(timeout=480)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
         assert "OK process=" in out

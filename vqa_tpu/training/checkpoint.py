@@ -28,6 +28,14 @@ def _ckpt_dir(base: str, name: str) -> str:
     return os.path.join(os.path.abspath(base), name)
 
 
+def _barrier(name: str) -> None:
+    """Cross-process sync point; no-op single-process."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def _remove(path: str) -> None:
     if os.path.isdir(path):
         shutil.rmtree(path)
@@ -57,14 +65,21 @@ def _swap_into_place(tmp: str, path: str) -> None:
 
 def _recover(path: str) -> None:
     """If a crash hit between ``_swap_into_place``'s renames, the previous
-    checkpoint survives as ``<path>.old`` — restore it."""
+    checkpoint survives as ``<path>.old`` — restore it. Tolerates a
+    concurrent recoverer (multi-host: every process may call this)."""
     old = path + ".old"
     if not os.path.exists(path) and os.path.exists(old):
-        os.rename(old, path)
+        try:
+            os.rename(old, path)
+        except OSError:
+            return  # another process won the recovery race
         if not os.path.exists(path + ".meta.json") and os.path.exists(
             old + ".meta.json"
         ):
-            os.rename(old + ".meta.json", path + ".meta.json")
+            try:
+                os.rename(old + ".meta.json", path + ".meta.json")
+            except OSError:
+                pass
 
 
 def save_checkpoint(
@@ -79,21 +94,32 @@ def save_checkpoint(
     never destroys the previous checkpoint. Returns the path."""
     path = _ckpt_dir(base_dir, name)
     tmp = path + ".tmp"
-    for p in (tmp, tmp + ".meta.json"):
-        _remove(p)
+    # Multi-host: EVERY process must enter ckptr.save (Orbax coordinates
+    # the distributed write internally), but the sidecar write and the
+    # rename swap are primary-only — concurrent swaps would race on the
+    # shared directory. A barrier keeps non-primaries from returning (and
+    # possibly reading) before the swap lands.
+    primary = jax.process_index() == 0
+    if primary:
+        for p in (tmp, tmp + ".meta.json"):
+            _remove(p)
+    _barrier("vqa-ckpt-pre-save")
     try:
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(tmp, train_state_tree)
-        with open(tmp + ".meta.json", "w", encoding="utf-8") as f:
-            json.dump(
-                {"config": model_config_dict(model_config), "meta": meta},
-                f,
-                indent=2,
-            )
-        _swap_into_place(tmp, path)
+        if primary:
+            with open(tmp + ".meta.json", "w", encoding="utf-8") as f:
+                json.dump(
+                    {"config": model_config_dict(model_config), "meta": meta},
+                    f,
+                    indent=2,
+                )
+            _swap_into_place(tmp, path)
     finally:
-        for p in (tmp, tmp + ".meta.json"):
-            _remove(p)
+        if primary:
+            for p in (tmp, tmp + ".meta.json"):
+                _remove(p)
+        _barrier("vqa-ckpt-post-swap")
     return path
 
 
@@ -134,16 +160,18 @@ def save_best_copy(base_dir: str, src_name: str = "latest",
     crash-safely: copy to a temp dir, then swap in with renames so the
     previous best stays readable throughout."""
     src, dst = _ckpt_dir(base_dir, src_name), _ckpt_dir(base_dir, best_name)
-    tmp = dst + ".tmp"
-    for p in (tmp, tmp + ".meta.json"):
-        _remove(p)
-    try:
-        shutil.copytree(src, tmp)
-        shutil.copyfile(src + ".meta.json", tmp + ".meta.json")
-        _swap_into_place(tmp, dst)
-    finally:
+    if jax.process_index() == 0:  # host-side copy: primary-only on pods
+        tmp = dst + ".tmp"
         for p in (tmp, tmp + ".meta.json"):
             _remove(p)
+        try:
+            shutil.copytree(src, tmp)
+            shutil.copyfile(src + ".meta.json", tmp + ".meta.json")
+            _swap_into_place(tmp, dst)
+        finally:
+            for p in (tmp, tmp + ".meta.json"):
+                _remove(p)
+    _barrier("vqa-ckpt-best-copy")
 
 
 def checkpoint_exists(base_dir: str, name: str) -> bool:

@@ -243,13 +243,18 @@ class VQAInference:
         if n > max_bucket:
             # chunk host-side into warmed max-size buckets — an oversized
             # request must never trigger a request-time XLA compile (tens
-            # of seconds cold; VERDICT r1 item 7)
-            return np.concatenate([
-                self.predict_probs_from_pixels(
+            # of seconds cold; VERDICT r1 item 7). All chunks DISPATCH
+            # before any fetch: JAX queues them back-to-back on device, so
+            # the host↔device round-trip is paid once, not per chunk.
+            dispatched = [
+                self.dispatch_probs_from_pixels(
                     pixels[i : i + max_bucket], questions[i : i + max_bucket]
                 )
                 for i in range(0, n, max_bucket)
-            ])
+            ]
+            return np.concatenate(
+                [np.asarray(p, np.float32)[:k] for p, k in dispatched]
+            )
         probs, n = self.dispatch_probs_from_pixels(pixels, questions)
         # fetch the whole padded bucket and slice on host: probs[:n] on
         # device would compile a separate tiny slice program per distinct n

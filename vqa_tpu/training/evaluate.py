@@ -72,17 +72,10 @@ class Evaluator:
         type_correct: Dict[str, int] = {}
         soft_sum, soft_n = 0.0, 0
 
-        for batch in prefetch_to_device(loader, sharding=self._sharding):
-            out = self.eval_step(
-                self.params,
-                self.batch_stats,
-                batch["image"],
-                batch["token_ids"],
-                batch["attention_mask"],
-                batch["answer"],
-            )
+        def consume(out, batch):
+            nonlocal c1, c5, n, loss_sum, soft_sum, soft_n
             valid = int(batch["valid"])
-            pred = np.asarray(out["pred"])[:valid]
+            pred = np.asarray(out["pred"])[:valid]  # blocks on this batch
             tgt = np.asarray(batch["answer"])[:valid]
             correct1 = np.asarray(out["correct1"])[:valid]
             preds.append(pred)
@@ -102,6 +95,25 @@ class Evaluator:
                 agree = (np.asarray(ann)[:valid] == pred[:, None]).sum(-1)
                 soft_sum += float(np.minimum(1.0, agree / 3.0).sum())
                 soft_n += valid
+
+        # lag-1 pipelining: dispatch batch N+1 (async) before fetching
+        # batch N's results, so the device-to-host round-trip (which
+        # dominates on a tunneled chip) overlaps the next batch's compute
+        pending = None
+        for batch in prefetch_to_device(loader, sharding=self._sharding):
+            out = self.eval_step(
+                self.params,
+                self.batch_stats,
+                batch["image"],
+                batch["token_ids"],
+                batch["attention_mask"],
+                batch["answer"],
+            )
+            if pending is not None:
+                consume(*pending)
+            pending = (out, batch)
+        if pending is not None:
+            consume(*pending)
 
         preds_all = np.concatenate(preds) if preds else np.zeros(0, np.int32)
         targets_all = np.concatenate(targets) if targets else np.zeros(0, np.int32)

@@ -306,9 +306,19 @@ class Trainer:
         }
 
     def validate(self) -> Dict[str, float]:
-        # scalar sums reduced on device per batch (multi-host safe); one
-        # host sync per batch is fine at eval batch sizes
+        # scalar sums reduced on device per batch (multi-host safe), with
+        # lag-1 pipelining: the next batch dispatches before the previous
+        # batch's scalars are fetched, hiding the device→host round-trip
         loss_sum, c1, c5, n = 0.0, 0.0, 0.0, 0.0
+        pending = None
+
+        def consume(out):
+            nonlocal loss_sum, c1, c5, n
+            loss_sum += float(out["loss_sum"])
+            c1 += float(out["correct1"])
+            c5 += float(out["correct5"])
+            n += float(out["n"])
+
         for batch in prefetch_to_device(
             self.val_loader, sharding=self.batch_sharding
         ):
@@ -321,10 +331,11 @@ class Trainer:
                 batch["answer"],
                 batch["valid_mask"],
             )
-            loss_sum += float(out["loss_sum"])
-            c1 += float(out["correct1"])
-            c5 += float(out["correct5"])
-            n += float(out["n"])
+            if pending is not None:
+                consume(pending)
+            pending = out
+        if pending is not None:
+            consume(pending)
         n = max(n, 1)
         return {
             "val_loss": loss_sum / n,

@@ -80,6 +80,9 @@ def measure(tag, **model_kwargs):
 def main():
     enable_compilation_cache()
     peak, gen = _chip_peak_flops("bfloat16")
+    if peak is None:
+        sys.exit(f"unrecognized chip {gen!r} — this experiment needs a "
+                 "known-TPU peak to compute MFU")
     print(f"chip: {gen}, peak {peak/1e12:.0f} TFLOP/s, b={B}\n")
 
     base_dt, base_flops = measure("base (full model)")
@@ -87,6 +90,9 @@ def main():
     wide_dt, wide_flops = measure(
         "stage1 widened to 128ch", stage_channels=(128, 128, 256, 512)
     )
+    if not all((base_flops, nose_flops, wide_flops)):
+        sys.exit("backend reports no cost_analysis flops — cannot compute "
+                 "the accept/reject numbers")
 
     # ---- Experiment 1: SE pool = activation re-read? -------------------
     # bf16 stage-output activations re-read by the 4 SE pools, per pair:

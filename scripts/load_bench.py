@@ -27,7 +27,7 @@ from PIL import Image
 from vqa_tpu.serving.engine import VQAInference
 from vqa_tpu.serving.server import VQAServer
 from vqa_tpu.utils.cache import enable_compilation_cache
-from vqa_tpu.utils.config import InferenceConfig, ModelConfig
+from vqa_tpu.utils.config import InferenceConfig
 
 
 def _jpeg_bytes(seed: int) -> bytes:
@@ -69,15 +69,9 @@ def main():
     args = p.parse_args()
 
     enable_compilation_cache()
-    model_config = None
-    if args.tiny:
-        model_config = ModelConfig(
-            vocab_size=1000, embed_dim=32, num_answers=16,
-            num_transformer_layers=1, num_attention_heads=2,
-            ffn_hidden_dim=64, max_question_length=8, image_size=64,
-            base_channels=8, stage_channels=(8, 16, 32, 64),
-            feature_spatial_size=2,
-        )
+    from vqa_tpu.utils.config import tiny_model_config
+
+    model_config = tiny_model_config() if args.tiny else None
     engine = VQAInference(
         checkpoint_dir="checkpoints", model_config=model_config
     )
@@ -131,6 +125,13 @@ def main():
         th.join()
     wall = time.perf_counter() - t0
 
+    if not latencies:  # keep the diagnostics instead of an IndexError
+        print(json.dumps({
+            "metric": "serving_latency_under_load",
+            "errors": len(errors),
+            "error_samples": errors[:5],
+        }))
+        sys.exit(1)
     arr = np.asarray(latencies)
     result = {
         "metric": "serving_latency_under_load",

@@ -95,3 +95,19 @@ def test_crash_during_best_copy_keeps_previous_best(tmp_path, monkeypatch):
     tree, _, meta = ckpt_lib.load_checkpoint(str(tmp_path), "best_model")
     assert meta["epoch"] == 0
     assert float(np.asarray(tree["params"]["w"])[0]) == 1.0
+
+
+def test_crash_between_forward_renames_completes_swap(tmp_path):
+    """Crash after the new tree landed but before its sidecar rename: the
+    fully written NEW checkpoint is completed from the tmp sidecar."""
+    _save(tmp_path, 1.0, 0)
+    _save(tmp_path, 2.0, 1)
+    path = os.path.join(str(tmp_path), "latest")
+    # simulate: new tree in place, sidecar still at .tmp.meta.json,
+    # previous checkpoint parked at .old
+    os.rename(path + ".meta.json", path + ".tmp.meta.json")
+    assert not os.path.exists(path + ".meta.json")
+
+    assert ckpt_lib.checkpoint_exists(str(tmp_path), "latest")
+    epoch, v = _load_epoch_and_value(tmp_path)
+    assert (epoch, v) == (1, 2.0)

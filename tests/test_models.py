@@ -332,3 +332,20 @@ def test_stage_channels_config_is_honored():
         np.ones((2, 6), np.int32),
     )
     assert logits.shape == (2, 8)
+
+
+def test_base_channels_alone_derives_stage_widths():
+    """Customizing base_channels without stage_channels derives the
+    (1,2,4,8) ramp — neither knob is silently dead config."""
+    from vqa_tpu.utils.config import ModelConfig
+
+    assert ModelConfig(base_channels=32).stage_channels == (32, 64, 128, 256)
+    assert ModelConfig().stage_channels == (64, 128, 256, 512)
+    # the factory rederives when overriding base_channels alone
+    from vqa_tpu.models import create_vqa_model
+
+    m = create_vqa_model(base_channels=16)
+    assert m.config.stage_channels == (16, 32, 64, 128)
+    # explicit stage widths still win
+    m2 = create_vqa_model(base_channels=16, stage_channels=(16, 16, 32, 64))
+    assert m2.config.stage_channels == (16, 16, 32, 64)

@@ -493,3 +493,37 @@ def test_fast_multipart_matches_email_parser():
         assert fast["image"][1] == ("b.png", b"PNGDATA")
     # no boundary → empty
     assert parse_multipart("text/plain", b"x") == {}
+
+
+def test_fast_multipart_parser_hardening():
+    """filename-before-name ordering and late content-transfer-encoding
+    both parse correctly (regression: anchored name regex; whole-body CTE
+    sniff routing to the decoding email parser)."""
+    import base64
+
+    from vqa_tpu.serving.server import parse_multipart
+
+    # filename precedes name in Content-Disposition (order is legal)
+    body = (
+        b"--B\r\n"
+        b'Content-Disposition: form-data; filename="photo.jpg"; name="image"\r\n'
+        b"Content-Type: image/jpeg\r\n\r\nJPEGDATA\r\n--B--\r\n"
+    )
+    fields = parse_multipart("multipart/form-data; boundary=B", body)
+    assert fields["image"] == [("photo.jpg", b"JPEGDATA")]
+
+    # content-transfer-encoding in a part AFTER >4KB of earlier payload
+    big = b"X" * 8192
+    encoded = base64.b64encode(b"what is this")
+    body = (
+        b"--B\r\n"
+        b'Content-Disposition: form-data; name="image"; filename="a.jpg"\r\n'
+        b"Content-Type: image/jpeg\r\n\r\n" + big + b"\r\n"
+        b"--B\r\n"
+        b'Content-Disposition: form-data; name="question"\r\n'
+        b"Content-Transfer-Encoding: base64\r\n\r\n" + encoded + b"\r\n"
+        b"--B--\r\n"
+    )
+    fields = parse_multipart("multipart/form-data; boundary=B", body)
+    assert fields["question"][0][1] == b"what is this"  # decoded
+    assert fields["image"][0] == ("a.jpg", big)

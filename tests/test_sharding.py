@@ -302,3 +302,16 @@ def test_sharded_checkpoint_save_resume(tmp_path):
     # restored params keep working under the sharded eval step
     metrics = trainer2.validate()
     assert np.isfinite(metrics["val_loss"])
+
+
+def test_mesh_from_config_rejects_non_divisible_explicit_dp():
+    """Explicit data_parallel that can't divide the batch fails fast with a
+    named reason instead of an opaque XLA device_put error."""
+    from vqa_tpu.parallel.mesh import mesh_from_config
+    from vqa_tpu.utils.config import MeshConfig
+
+    with pytest.raises(ValueError, match="does not divide the batch"):
+        mesh_from_config(MeshConfig(data_parallel=8), batch_divisor=100)
+    # divisible explicit dp is fine
+    m = mesh_from_config(MeshConfig(data_parallel=4), batch_divisor=100)
+    assert m.shape["data"] == 4

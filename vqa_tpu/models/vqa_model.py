@@ -167,6 +167,10 @@ def create_vqa_model(
 
     cfg = config or ModelConfig()
     if overrides:
+        if "base_channels" in overrides and "stage_channels" not in overrides:
+            # rederive the (1,2,4,8)·base ramp instead of silently keeping
+            # the previous config's resolved widths
+            overrides = {**overrides, "stage_channels": None}
         cfg = dataclasses.replace(cfg, **overrides)
     if use_attention is not None:
         cfg = dataclasses.replace(

@@ -72,6 +72,13 @@ def mesh_from_config(cfg=None, batch_divisor: Optional[int] = None) -> Mesh:
         dp = n_dev // mp
         if batch_divisor:
             dp = math.gcd(dp, batch_divisor) or 1
+    elif batch_divisor and batch_divisor % dp != 0:
+        # fail fast with a named reason; otherwise the first sharded batch
+        # dies deep inside device_put with an opaque XLA divisibility error
+        raise ValueError(
+            f"data_parallel={dp} does not divide the batch size "
+            f"{batch_divisor}; pick a divisor or use data_parallel=-1 (auto)"
+        )
     return create_mesh(
         data_parallel=dp,
         model_parallel=mp,

@@ -103,6 +103,10 @@ class MicroBatcher:
         }
 
     def shutdown(self) -> None:
+        # order matters: the dispatcher must fully stop (it may be about to
+        # put a dispatched group into _inflight) before the completer is
+        # allowed to decide the pipeline is drained — otherwise a group can
+        # be stranded with its waiters' events never set
         self._stop.set()
         self._dispatcher.join(timeout=2.0)
         self._completer.join(timeout=2.0)
@@ -178,7 +182,13 @@ class MicroBatcher:
             self._inflight.put((group, good, probs, n))
 
     def _complete_loop(self) -> None:
-        while not (self._stop.is_set() and self._inflight.empty()):
+        # drain until: stop requested AND the dispatcher can no longer add
+        # work AND nothing is in flight (see shutdown() ordering)
+        while not (
+            self._stop.is_set()
+            and not self._dispatcher.is_alive()
+            and self._inflight.empty()
+        ):
             try:
                 group, good, probs, n = self._inflight.get(timeout=0.1)
             except queue.Empty:

@@ -60,8 +60,10 @@ INDEX_PAYLOAD = {
 
 
 _BOUNDARY_RE = re.compile(r'boundary="?([^";]+)"?', re.I)
-_NAME_RE = re.compile(rb'name="([^"]*)"')
-_FILENAME_RE = re.compile(rb'filename="([^"]*)"')
+# anchored so name= inside filename="..." can never match first
+_NAME_RE = re.compile(rb'(?:^|[;\s])name="([^"]*)"')
+_FILENAME_RE = re.compile(rb'(?:^|[;\s])filename="([^"]*)"')
+_CTE_RE = re.compile(rb"content-transfer-encoding", re.I)
 
 
 def _parse_multipart_email(content_type: str, body: bytes):
@@ -95,7 +97,7 @@ def parse_multipart(content_type: str, body: bytes) -> Dict[str, List[Tuple[Opti
     m = _BOUNDARY_RE.search(content_type or "")
     if not m:
         return {}
-    if b"content-transfer-encoding" in body[:4096].lower():
+    if _CTE_RE.search(body):  # encoded parts → the decoding email parser
         return _parse_multipart_email(content_type, body)
     try:
         delim = b"--" + m.group(1).encode()
@@ -330,7 +332,7 @@ def main(argv=None):
     import os
 
     from vqa_tpu.utils.cache import enable_compilation_cache
-    from vqa_tpu.utils.config import ModelConfig, PATHS
+    from vqa_tpu.utils.config import PATHS, tiny_model_config
 
     enable_compilation_cache()
     p = argparse.ArgumentParser(description="VQA serving")
@@ -350,15 +352,7 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
-    model_config = None
-    if args.tiny:
-        model_config = ModelConfig(
-            vocab_size=1000, embed_dim=32, num_answers=16,
-            num_transformer_layers=1, num_attention_heads=2,
-            ffn_hidden_dim=64, max_question_length=8, image_size=64,
-            base_channels=8, stage_channels=(8, 16, 32, 64),
-            feature_spatial_size=2,
-        )
+    model_config = tiny_model_config() if args.tiny else None
     engine = VQAInference(
         checkpoint_dir=args.checkpoint_dir or PATHS.checkpoint_dir,
         model_config=model_config,

@@ -80,6 +80,20 @@ def _recover(path: str) -> None:
                 os.rename(old + ".meta.json", path + ".meta.json")
             except OSError:
                 pass
+        return
+    # crash BETWEEN the two forward renames: the new tree landed at path
+    # but its sidecar is still at <path>.tmp.meta.json — complete the swap
+    # (the Orbax write had fully finished before the swap began)
+    tmp_meta = path + ".tmp.meta.json"
+    if (
+        os.path.exists(path)
+        and not os.path.exists(path + ".meta.json")
+        and os.path.exists(tmp_meta)
+    ):
+        try:
+            os.rename(tmp_meta, path + ".meta.json")
+        except OSError:
+            pass
 
 
 def save_checkpoint(

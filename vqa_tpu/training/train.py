@@ -550,13 +550,9 @@ def main(argv=None):
     )
 
     if args.tiny:
-        mcfg = ModelConfig(
-            vocab_size=1000, embed_dim=32, num_answers=16,
-            num_transformer_layers=1, num_attention_heads=2,
-            ffn_hidden_dim=64, max_question_length=8, image_size=64,
-            base_channels=8, stage_channels=(8, 16, 32, 64),
-            feature_spatial_size=2,
-        )
+        from vqa_tpu.utils.config import tiny_model_config
+
+        mcfg = tiny_model_config()
     else:
         mcfg = ModelConfig(
             embed_dim=args.embed_dim, num_answers=args.num_answers

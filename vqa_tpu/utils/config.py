@@ -73,7 +73,10 @@ class ModelConfig:
     image_size: int = 224
     in_channels: int = 3
     base_channels: int = 64
-    stage_channels: Tuple[int, int, int, int] = (64, 128, 256, 512)
+    # None derives the classic (1, 2, 4, 8)·base_channels ramp in
+    # __post_init__, so customizing base_channels alone is never silently
+    # ignored; set explicitly for non-proportional stage widths
+    stage_channels: Tuple[int, int, int, int] = None
     blocks_per_stage: Tuple[int, int, int, int] = (2, 2, 2, 2)
     feature_spatial_size: int = 7  # 224 / 32
     use_se_attention: bool = True
@@ -93,6 +96,14 @@ class ModelConfig:
     # fusion
     num_cross_layers: int = 2
     use_gating: bool = True
+
+    def __post_init__(self):
+        if self.stage_channels is None:
+            object.__setattr__(  # frozen dataclass
+                self,
+                "stage_channels",
+                tuple(self.base_channels * m for m in (1, 2, 4, 8)),
+            )
 
     # answer head
     num_answers: int = 1000
@@ -191,6 +202,18 @@ TRAINING = TrainingConfig()
 INFERENCE = InferenceConfig()
 MESH = MeshConfig()
 KERNELS = KernelConfig()
+
+
+def tiny_model_config() -> ModelConfig:
+    """The shared `--tiny` model (smoke/demo runs): one source of truth for
+    the train CLI, the serving CLI, and the load benchmark."""
+    return ModelConfig(
+        vocab_size=1000, embed_dim=32, num_answers=16,
+        num_transformer_layers=1, num_attention_heads=2,
+        ffn_hidden_dim=64, max_question_length=8, image_size=64,
+        base_channels=8, stage_channels=(8, 16, 32, 64),
+        feature_spatial_size=2,
+    )
 
 
 def model_config_dict(cfg: ModelConfig) -> dict:

@@ -357,7 +357,22 @@ def main(argv=None):
         checkpoint_dir=args.checkpoint_dir or PATHS.checkpoint_dir,
         model_config=model_config,
     )
-    VQAServer(engine=engine).serve(args.host, args.port)
+    server = VQAServer(engine=engine)
+
+    # graceful shutdown on SIGTERM (production schedulers) — same pattern
+    # as the trainer's checkpoint-on-signal: route into KeyboardInterrupt
+    import signal
+
+    def _on_sigterm(signum, frame):
+        raise KeyboardInterrupt("SIGTERM")
+
+    signal.signal(signal.SIGTERM, _on_sigterm)
+    try:
+        server.serve(args.host, args.port)
+    except KeyboardInterrupt:
+        print("[API] shutting down")
+    finally:
+        server.batcher.shutdown()
 
 
 if __name__ == "__main__":

@@ -14,6 +14,8 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 from vqa_tpu.parallel import distributed
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -185,3 +187,32 @@ def test_single_process_is_noop(monkeypatch):
     assert distributed.process_count() == 1
     assert distributed.is_primary()
     assert distributed.local_batch_size(32) == 32
+
+
+def test_local_batch_size_divisibility():
+    with pytest.raises(ValueError, match="not divisible"):
+        # simulate a 3-process view
+        import unittest.mock as mock
+
+        with mock.patch.object(distributed.jax, "process_count",
+                               return_value=3):
+            distributed.local_batch_size(32)
+
+
+def test_explicit_args_take_precedence_over_env(monkeypatch):
+    """When both explicit args and env vars are present, explicit wins
+    (the env path only fills in missing values)."""
+    captured = {}
+
+    def fake_init(coordinator_address=None, num_processes=None,
+                  process_id=None, local_device_ids=None):
+        captured.update(coordinator=coordinator_address,
+                        n=num_processes, pid=process_id)
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "envhost:1")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "3")
+    monkeypatch.setattr(distributed, "_initialized", False)
+    monkeypatch.setattr(distributed.jax.distributed, "initialize", fake_init)
+    distributed.initialize("realhost:2", 2, 1)
+    assert captured == {"coordinator": "realhost:2", "n": 2, "pid": 1}

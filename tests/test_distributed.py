@@ -170,7 +170,10 @@ def test_two_process_cpu_cluster(tmp_path):
         )
         for pid, mode in ((0, "args"), (1, "env"))
     ]
-    outs = [p.communicate(timeout=480)[0] for p in procs]
+    # Generous margin: the two workers share this host's single CPU core
+    # and take ~5 min alone; concurrent load (another suite, a bench run)
+    # must not flake the test.
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
         assert "OK process=" in out

@@ -189,6 +189,7 @@ class Trainer:
         seed: int = 42,
         profile_dir: Optional[str] = None,
         run_meta: Optional[Dict[str, Any]] = None,
+        log_dir: Optional[str] = None,
     ):
         self.model = model
         self.cfg = config or TrainingConfig()
@@ -249,6 +250,13 @@ class Trainer:
         # run provenance persisted into every checkpoint sidecar (e.g. the
         # --synthetic dataset spec, so evaluation rebuilds the exact split)
         self.run_meta = dict(run_meta or {})
+        # TensorBoard scalars (utils/tb.py) — primary process only on pods
+        from vqa_tpu.parallel import distributed
+        from vqa_tpu.utils.tb import maybe_scalar_writer
+
+        self.scalar_writer = maybe_scalar_writer(
+            log_dir if distributed.is_primary() else None
+        )
 
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> Dict[str, float]:
@@ -420,6 +428,8 @@ class Trainer:
                 lr = float(self.schedule(int(self.state.step)))
                 metrics = {**train_metrics, **val_metrics, "lr": lr}
                 self.logger.log(epoch, metrics)
+                if self.scalar_writer is not None:
+                    self.scalar_writer.log_scalars(epoch, metrics)
                 dt = time.time() - t0
                 print(
                     f"[Trainer] epoch {epoch}: "
@@ -455,6 +465,8 @@ class Trainer:
         finally:
             if prev_handler is not None:
                 signal.signal(signal.SIGTERM, prev_handler)
+            if self.scalar_writer is not None:
+                self.scalar_writer.close()
         return self.logger
 
 
@@ -491,6 +503,11 @@ def parse_args(argv=None):
     p.add_argument("--profile-dir", default=None,
                    help="dump a TensorBoard device trace of the first "
                         "trained epoch to this directory")
+    p.add_argument("--log-dir", default=None,
+                   help="write per-epoch TensorBoard scalars (train/val "
+                        "loss, top-1/top-5, lr) to this directory "
+                        "(tensorboardX / torch.utils.tensorboard, JSONL "
+                        "fallback — utils/tb.py)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans — the numeric sanitizer for "
                         "debug runs (SURVEY §5; fails fast at the op that "
@@ -657,6 +674,7 @@ def main(argv=None):
         seed=tcfg.seed,
         profile_dir=args.profile_dir,
         run_meta=run_meta,
+        log_dir=args.log_dir,
     )
     if args.resume:
         trainer.resume(args.resume)

@@ -225,6 +225,21 @@ def test_ablation_changes_param_count():
     )
 
 
+def test_no_spatial_ablation_param_count():
+    """The reference README's middle ablation row disables only spatial
+    attention (reference: README.md:349-353). Spatial blocks are tiny
+    (98 params/site), so: full > no-spatial > no-attention."""
+    full = _tiny_model()
+    nospatial = _tiny_model(use_spatial_attention=False)
+    noattn = _tiny_model(use_attention=False)
+    n_full = count_parameters(init_vqa_model(full, KEY))["image_encoder"]
+    n_nosp = count_parameters(init_vqa_model(nospatial, KEY))["image_encoder"]
+    n_noat = count_parameters(init_vqa_model(noattn, KEY))["image_encoder"]
+    assert n_full > n_nosp > n_noat
+    assert not nospatial.config.use_spatial_attention
+    assert nospatial.config.use_se_attention
+
+
 def test_dropout_is_deterministic_in_eval():
     model = _tiny_model()
     v = init_vqa_model(model, KEY)

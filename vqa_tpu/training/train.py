@@ -482,6 +482,10 @@ def parse_args(argv=None):
     p.add_argument("--subset-size", type=int, default=25000)
     p.add_argument("--embed-dim", type=int, default=256)
     p.add_argument("--num-answers", type=int, default=1000)
+    p.add_argument("--no-spatial", action="store_true",
+                   help="ablation: disable spatial attention only (the "
+                        "reference README's middle ablation row, "
+                        "reference: README.md:349-353)")
     p.add_argument("--no-attention", action="store_true",
                    help="ablation: disable SE+spatial attention")
     p.add_argument("--epochs", type=int, default=30)
@@ -650,10 +654,14 @@ def main(argv=None):
         val_loader = shard_for_process(val_loader)
 
     dtype = jnp.bfloat16 if (tcfg.use_bf16 and jax.default_backend() == "tpu") else jnp.float32
+    ablation = {}
+    if args.no_spatial:
+        ablation["use_spatial_attention"] = False
     model = create_vqa_model(
         config=mcfg,
-        use_attention=not args.no_attention,
+        use_attention=False if args.no_attention else None,
         dtype=dtype,
+        **ablation,
     )
     variables = init_vqa_model(model, jax.random.PRNGKey(tcfg.seed))
 

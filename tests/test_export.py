@@ -172,3 +172,68 @@ def test_export_checkpoint_dir(tmp_path):
     # conv layout really is OIHW on the torch side
     w = ckpt["model_state_dict"]["image_encoder.stem.0.weight"]
     assert tuple(w.shape) == (8, 3, 7, 7)
+
+
+def test_import_cli_and_model_only_resume(tmp_path):
+    """Full migration circle: a reference-schema .pth (here produced by the
+    exporter) converts via ``python -m vqa_tpu.compat.torch_import`` into a
+    checkpoint directory, serves through load_model_for_inference, and
+    resumes training with a fresh optimizer (model_only sidecar flag)."""
+    torch = pytest.importorskip("torch")
+    from vqa_tpu.compat.torch_export import save_torch_checkpoint
+    from vqa_tpu.compat.torch_import import import_checkpoint_to_dir
+    from vqa_tpu.training.checkpoint import (
+        load_checkpoint_meta,
+        load_model_for_inference,
+    )
+
+    model = create_vqa_model(**TINY)
+    variables = init_vqa_model(model, KEY)
+    pth = str(tmp_path / "ref.pth")
+    save_torch_checkpoint(
+        variables, model.config, pth, epoch=2, best_val_accuracy=0.25
+    )
+
+    out_dir = str(tmp_path / "converted")
+    import_checkpoint_to_dir(pth, out_dir)
+
+    meta = load_checkpoint_meta(out_dir, "latest")
+    assert meta["model_only"] is True
+    assert meta["epoch"] == 2
+
+    m2, v2 = load_model_for_inference(out_dir, name="best_model")
+    got = _flatten(v2["params"])
+    want = _flatten(variables["params"])
+    assert set(got) == set(want)
+    for path in want:
+        np.testing.assert_allclose(
+            got[path], want[path], atol=1e-6, err_msg="/".join(path)
+        )
+
+    # resume: fresh optimizer, start_epoch from the .pth's epoch
+    from vqa_tpu.data.dataset import create_demo_loaders
+    from vqa_tpu.training.train import Trainer
+    from vqa_tpu.utils.config import TrainingConfig
+
+    tl, vl = create_demo_loaders(
+        batch_size=4, eval_batch_size=4, num_samples=8,
+        image_size=TINY["image_size"],
+        max_question_length=TINY["max_question_length"],
+        vocab_size=TINY["vocab_size"], num_answers=TINY["num_answers"],
+    )
+    trainer = Trainer(
+        model, init_vqa_model(model, KEY), tl, vl,
+        config=TrainingConfig(num_epochs=4, batch_size=4, warmup_epochs=0),
+        checkpoint_dir=out_dir, save_checkpoints=False,
+    )
+    trainer.resume("latest")
+    assert trainer.start_epoch == 3
+    assert trainer.best_val_accuracy == 0.25
+    # weights really landed
+    np.testing.assert_allclose(
+        _flatten(trainer.state.params)[("answer_head", "fc1", "kernel")],
+        want[("answer_head", "fc1", "kernel")],
+        atol=1e-6,
+    )
+    logger = trainer.train()
+    assert len(logger.history["train_loss"]) == 1  # epoch 3 of 4

@@ -214,7 +214,7 @@ def load_torch_checkpoint(checkpoint_path: str):
 
     ckpt = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
     state_dict = ckpt.get("model_state_dict", ckpt)
-    ref_cfg = ckpt.get("config", {})
+    ref_cfg = ckpt.get("config", {}) if isinstance(ckpt, dict) else {}
     cfg = ModelConfig(
         vocab_size=ref_cfg.get("vocab_size", 10000),
         embed_dim=ref_cfg.get("embed_dim", 256),
@@ -232,3 +232,68 @@ def load_torch_checkpoint(checkpoint_path: str):
         answer_dropout=ref_cfg.get("answer_dropout", 0.3),
     )
     return convert_torch_state_dict(state_dict), cfg
+
+
+def import_checkpoint_to_dir(
+    pth_path: str,
+    out_dir: str,
+    names=("best_model", "latest"),
+) -> None:
+    """Convert a reference .pth into a framework checkpoint directory.
+
+    Writes an Orbax checkpoint containing ``{params, batch_stats}`` plus a
+    sidecar flagged ``model_only`` (no optimizer state exists in a converted
+    checkpoint — ``Trainer.resume`` detects the flag and continues with a
+    fresh optimizer). Both ``best_model`` and ``latest`` are written by
+    default so eval (best→latest fallback), serving, and ``--resume`` all
+    find it.
+    """
+    import torch
+
+    from vqa_tpu.training.checkpoint import save_checkpoint
+
+    ckpt = torch.load(pth_path, map_location="cpu", weights_only=False)
+    variables, cfg = load_torch_checkpoint(pth_path)
+    meta = {
+        "epoch": int(ckpt.get("epoch", 0)) if isinstance(ckpt, dict) else 0,
+        "best_val_accuracy": float(ckpt.get("best_val_accuracy", 0.0))
+        if isinstance(ckpt, dict)
+        else 0.0,
+        "metrics_history": ckpt.get("metrics_history", {})
+        if isinstance(ckpt, dict)
+        else {},
+        "model_only": True,
+        "imported_from": pth_path,
+    }
+    tree = {
+        "params": variables["params"],
+        "batch_stats": variables["batch_stats"],
+    }
+    for name in names:
+        save_checkpoint(out_dir, name, tree, cfg, meta)
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Convert a reference PyTorch .pth checkpoint into a "
+        "vqa_tpu checkpoint directory (usable by evaluate, serving, and "
+        "train --resume with a fresh optimizer)."
+    )
+    p.add_argument("--pth", required=True, help="reference .pth checkpoint")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument(
+        "--name",
+        default=None,
+        choices=[None, "best_model", "latest"],
+        help="write only this checkpoint name (default: both)",
+    )
+    args = p.parse_args(argv)
+    names = (args.name,) if args.name else ("best_model", "latest")
+    import_checkpoint_to_dir(args.pth, args.out_dir, names=names)
+    print(f"[import] {args.pth} → {args.out_dir} ({', '.join(names)})")
+
+
+if __name__ == "__main__":
+    main()

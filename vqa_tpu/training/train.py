@@ -378,16 +378,40 @@ class Trainer:
 
     def resume(self, name: str = "latest") -> None:
         """Restore params/opt_state/step/epoch/history
-        (reference: training/train.py:302-320)."""
-        tree, _, meta = ckpt_lib.load_checkpoint(
-            self.checkpoint_dir, name, self._state_tree()
+        (reference: training/train.py:302-320).
+
+        Checkpoints converted from a reference ``.pth``
+        (``python -m vqa_tpu.compat.torch_import``) carry no optimizer
+        state — their sidecar is flagged ``model_only``; restore weights and
+        BN stats, keep the freshly initialized optimizer."""
+        model_only = bool(
+            ckpt_lib.load_checkpoint_meta(self.checkpoint_dir, name).get(
+                "model_only", False
+            )
         )
-        self.state = self.state.replace(
-            params=tree["params"],
-            batch_stats=tree["batch_stats"],
-            opt_state=tree["opt_state"],
-            step=tree["step"],
-        )
+        if model_only:
+            target = {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+            }
+            tree, _, meta = ckpt_lib.load_checkpoint(
+                self.checkpoint_dir, name, target
+            )
+            self.state = self.state.replace(
+                params=tree["params"], batch_stats=tree["batch_stats"]
+            )
+            print("[Trainer] model-only checkpoint (imported .pth): "
+                  "optimizer starts fresh")
+        else:
+            tree, _, meta = ckpt_lib.load_checkpoint(
+                self.checkpoint_dir, name, self._state_tree()
+            )
+            self.state = self.state.replace(
+                params=tree["params"],
+                batch_stats=tree["batch_stats"],
+                opt_state=tree["opt_state"],
+                step=tree["step"],
+            )
         self.start_epoch = int(meta["epoch"]) + 1
         self.best_val_accuracy = float(meta["best_val_accuracy"])
         self.logger = MetricsLogger.from_dict(meta["metrics_history"])

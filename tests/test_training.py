@@ -397,3 +397,94 @@ def test_shard_for_process_disjoint_equal_cover():
     # batches carry the device-reducible pad mask
     batch = next(iter(shards[0]))
     assert batch["valid_mask"].tolist() == [1, 1, 1, 1]
+
+
+def test_grad_accum_matches_single_microbatch():
+    """With dropout off and the batch = one microbatch duplicated, a
+    grad_accum=2 step must produce the same loss, 2x the correct-counts, and
+    the same updated params as a plain step on the single microbatch (each
+    microbatch normalizes with its own BN stats, so duplicated microbatches
+    yield identical per-micro grads whose average equals either one)."""
+    kw = dict(TINY, dropout=0.0, answer_dropout=0.0)
+    model = create_vqa_model(**kw)
+    variables = init_vqa_model(model, jax.random.PRNGKey(0), batch_size=4)
+    cfg = TrainingConfig(learning_rate=1e-3, warmup_epochs=0, num_epochs=1)
+    tx, _ = make_optimizer(cfg, steps_per_epoch=10)
+
+    def fresh_state():
+        return TrainState.create(
+            apply_fn=model.apply,
+            params=jax.tree_util.tree_map(jnp.copy, variables["params"]),
+            tx=tx,
+            batch_stats=jax.tree_util.tree_map(
+                jnp.copy, variables["batch_stats"]
+            ),
+        )
+
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(rng.normal(size=(4, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(4, 50, size=(4, 6)), jnp.int32)
+    mask = jnp.ones((4, 6), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, 8, size=(4,)), jnp.int32)
+    key = jax.random.PRNGKey(3)
+
+    plain = make_train_step(model, grad_accum=1)
+    accum = make_train_step(model, grad_accum=2)
+
+    s1, m1 = plain(fresh_state(), images, ids, mask, labels, key)
+    dup = lambda x: jnp.concatenate([x, x], axis=0)
+    s2, m2 = accum(
+        fresh_state(), dup(images), dup(ids), dup(mask), dup(labels), key
+    )
+
+    np.testing.assert_allclose(
+        float(m2["loss"]), float(m1["loss"]), atol=1e-5
+    )
+    assert int(m2["correct1"]) == 2 * int(m1["correct1"])
+    assert int(m2["correct5"]) == 2 * int(m1["correct5"])
+    p1 = jax.tree_util.tree_leaves(s1.params)
+    p2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_grad_accum_trainer_end_to_end(tmp_path):
+    """--grad-accum path through the Trainer: one demo epoch, finite loss."""
+    train_loader, val_loader = create_demo_loaders(
+        batch_size=4, eval_batch_size=4, num_samples=8,
+        image_size=32, max_question_length=6, vocab_size=50, num_answers=8,
+    )
+    model = create_vqa_model(**TINY)
+    variables = init_vqa_model(model, jax.random.PRNGKey(0))
+    cfg = TrainingConfig(
+        num_epochs=1, batch_size=4, warmup_epochs=0, learning_rate=1e-3,
+        grad_accum=2,
+    )
+    trainer = Trainer(
+        model, variables, train_loader, val_loader, config=cfg,
+        checkpoint_dir=str(tmp_path), save_checkpoints=False,
+    )
+    logger = trainer.train()
+    assert np.isfinite(logger.history["train_loss"][0])
+
+
+def test_grad_accum_rejects_indivisible_batch():
+    model = create_vqa_model(**TINY)
+    variables = init_vqa_model(model, jax.random.PRNGKey(0), batch_size=4)
+    cfg = TrainingConfig(learning_rate=1e-3, warmup_epochs=0, num_epochs=1)
+    tx, _ = make_optimizer(cfg, steps_per_epoch=10)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx,
+        batch_stats=variables["batch_stats"],
+    )
+    step = make_train_step(model, grad_accum=3)
+    rng = np.random.default_rng(0)
+    with pytest.raises(ValueError, match="not divisible"):
+        step(
+            state,
+            jnp.asarray(rng.normal(size=(4, 32, 32, 3)), jnp.float32),
+            jnp.ones((4, 6), jnp.int32),
+            jnp.ones((4, 6), jnp.int32),
+            jnp.zeros((4,), jnp.int32),
+            jax.random.PRNGKey(0),
+        )

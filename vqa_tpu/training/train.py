@@ -73,40 +73,116 @@ def make_optimizer(
     return tx, schedule
 
 
-def make_train_step(model):
+def make_train_step(model, grad_accum: int = 1):
     """Build the jitted train step: forward+CE+backward+update+BN-EMA in one
-    XLA program. Metrics (loss, top1/top5 counts) stay on device."""
+    XLA program. Metrics (loss, top1/top5 counts) stay on device.
+
+    ``grad_accum > 1`` splits the batch into that many microbatches and
+    ``lax.scan``s forward+backward over them inside the same program — one
+    optimizer update on the averaged gradients. Peak activation memory drops
+    by ~grad_accum× (only one microbatch's activations are ever live) at the
+    cost of smaller matmuls per microbatch. BatchNorm normalizes each
+    microbatch with its own statistics (train-mode semantics) and chains the
+    EMA update through the scan carry, which matches running the microbatches
+    as separate steps stats-wise."""
+
+    if grad_accum == 1:
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, images, token_ids, mask, labels, rng):
+            step_rng = jax.random.fold_in(rng, state.step)
+
+            def loss_fn(params):
+                (logits, _), mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    images,
+                    token_ids,
+                    mask,
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": step_rng},
+                )
+                loss = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels
+                ).mean()
+                return loss, (logits, mutated["batch_stats"])
+
+            (loss, (logits, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            new_state = state.apply_gradients(grads=grads)
+            new_state = new_state.replace(batch_stats=new_stats)
+
+            correct1, correct5 = topk_correct(logits, labels, k=5)
+            return new_state, {
+                "loss": loss,
+                "correct1": correct1,
+                "correct5": correct5,
+            }
+
+        return train_step
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, images, token_ids, mask, labels, rng):
         step_rng = jax.random.fold_in(rng, state.step)
+        if images.shape[0] % grad_accum:
+            raise ValueError(
+                f"batch size {images.shape[0]} not divisible by "
+                f"grad_accum={grad_accum}"
+            )
 
-        def loss_fn(params):
+        def split(x):
+            return x.reshape((grad_accum, x.shape[0] // grad_accum) + x.shape[1:])
+
+        microbatches = jax.tree_util.tree_map(
+            split, (images, token_ids, mask, labels)
+        )
+
+        def loss_fn(params, batch_stats, mb, mb_rng):
+            mb_images, mb_ids, mb_mask, mb_labels = mb
             (logits, _), mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                images,
-                token_ids,
-                mask,
+                {"params": params, "batch_stats": batch_stats},
+                mb_images,
+                mb_ids,
+                mb_mask,
                 train=True,
                 mutable=["batch_stats"],
-                rngs={"dropout": step_rng},
+                rngs={"dropout": mb_rng},
             )
             loss = optax.softmax_cross_entropy_with_integer_labels(
-                logits, labels
+                logits, mb_labels
             ).mean()
             return loss, (logits, mutated["batch_stats"])
 
-        (loss, (logits, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        def body(carry, xs):
+            stats, grad_sum, loss_sum, c1, c5, i = carry
+            mb = xs
+            (loss, (logits, stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, stats, mb, jax.random.fold_in(step_rng, i))
+            grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
+            f1, f5 = topk_correct(logits, mb[3], k=5)
+            return (stats, grad_sum, loss_sum + loss, c1 + f1, c5 + f5,
+                    i + 1), None
+
+        carry0 = (
+            state.batch_stats,
+            jax.tree_util.tree_map(jnp.zeros_like, state.params),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32),
+        )
+        (new_stats, grad_sum, loss_sum, c1, c5, _), _ = jax.lax.scan(
+            body, carry0, microbatches
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grad_sum)
         new_state = state.apply_gradients(grads=grads)
         new_state = new_state.replace(batch_stats=new_stats)
-
-        correct1, correct5 = topk_correct(logits, labels, k=5)
         return new_state, {
-            "loss": loss,
-            "correct1": correct1,
-            "correct5": correct5,
+            "loss": loss_sum / grad_accum,
+            "correct1": c1,
+            "correct5": c5,
         }
 
     return train_step
@@ -224,7 +300,7 @@ class Trainer:
             tx=self.tx,
             batch_stats=variables.get("batch_stats", {}),
         )
-        self.train_step = make_train_step(model)
+        self.train_step = make_train_step(model, grad_accum=self.cfg.grad_accum)
         self.val_step = make_val_step(model)
         self.batch_sharding = data_sharding(self.mesh)
         # on-device augmentation program for uint8 train batches
@@ -517,6 +593,11 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--weight-decay", type=float, default=0.01)
     p.add_argument("--patience", type=int, default=10)
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="microbatches per optimizer step (lax.scan inside "
+                        "one XLA program): ~N× lower activation memory for "
+                        "large-batch runs; gradients averaged across "
+                        "microbatches")
     p.add_argument("--resume", default=None)
     p.add_argument("--demo", action="store_true", help="random demo data")
     p.add_argument("--synthetic", action="store_true",
@@ -590,9 +671,15 @@ def main(argv=None):
         weight_decay=args.weight_decay,
         num_epochs=args.epochs,
         early_stop_patience=args.patience,
+        grad_accum=args.grad_accum,
         use_bf16=not args.no_bf16,
         seed=args.seed,
     )
+    if per_process_bs % tcfg.grad_accum:
+        raise SystemExit(
+            f"--batch-size per process ({per_process_bs}) must be divisible "
+            f"by --grad-accum ({tcfg.grad_accum})"
+        )
 
     if args.tiny:
         from vqa_tpu.utils.config import tiny_model_config

@@ -134,6 +134,12 @@ class TrainingConfig:
     warmup_epochs: int = 2
 
     num_epochs: int = 30
+    # microbatches per optimizer step (lax.scan over the split batch inside
+    # ONE jitted program). 1 = the reference's plain step. Gradients are
+    # averaged across microbatches; BN normalizes per microbatch and chains
+    # its EMA update through the scan. TPU-native addition (no reference
+    # equivalent — the reference has no accumulation).
+    grad_accum: int = 1
     grad_clip_norm: float = 1.0
     early_stop_patience: int = 10
     checkpoint_every: int = 5

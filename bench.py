@@ -90,7 +90,7 @@ def bench_train(args):
     )
     variables = init_vqa_model(model, jax.random.PRNGKey(0))
     tx, _ = make_optimizer(TrainingConfig(), steps_per_epoch=100)
-    train_step = make_train_step(model)
+    train_step = make_train_step(model, grad_accum=args.grad_accum)
 
     if args.aug:
         import functools
@@ -135,9 +135,13 @@ def bench_train(args):
             state, m = one_step(state, i)
         jax.block_until_ready(m)
         if not args.aug:  # cost the train-step program (lower only; no exec)
-            flops_by_batch[b] = _compiled_flops(
+            f = _compiled_flops(
                 train_step, state, imgs, ids, mask, labels, key
             )
+            # XLA cost_analysis counts a lax.scan body ONCE, not x trip
+            # count (measured: the accum-4 program reports exactly 1/4 the
+            # accum-1 FLOPs) — scale back to real executed FLOPs.
+            flops_by_batch[b] = f * args.grad_accum if f else f
         for _ in range(reps):
             t0 = time.perf_counter()
             for i in range(chain):
@@ -154,6 +158,7 @@ def bench_train(args):
     dtype_name = str(dtype.__name__ if hasattr(dtype, "__name__") else dtype)
     line = {
         "metric": "train_pairs_per_sec_per_chip",
+        **({"grad_accum": args.grad_accum} if args.grad_accum > 1 else {}),
         "value": round(best, 2),
         "unit": "pairs/s",
         "vs_baseline": round(best / baseline, 2),
@@ -184,6 +189,8 @@ def main():
                    help="with --train: include on-device augmentation "
                         "(uint8 256px sources, crop/flip/jitter in XLA)")
     p.add_argument("--batches", type=int, nargs="+", default=None)
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="with --train: microbatches per optimizer step")
     p.add_argument("--f32", action="store_true", help="disable bf16 compute")
     p.add_argument("--s2d", action="store_true",
                    help="space-to-depth stem execution plan (measured ~4%% "

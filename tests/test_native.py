@@ -1,6 +1,6 @@
 """Native C++ preprocessing library: bit-parity with PIL + fallback wiring.
 
-The native resampler (native/vqa_preprocess.cc) must be BIT-IDENTICAL to
+The native resampler (vqa_tpu/native/vqa_preprocess.cc) must be BIT-IDENTICAL to
 PIL's Image.resize(..., BILINEAR) — the same algorithm the reference's
 torchvision transform dispatches to (reference: data/preprocess.py:98-121) —
 so switching the serving/data path onto it can never change model inputs.

@@ -3,7 +3,7 @@
 The TPU-native analog of the reference's implicit native layer: where the
 reference leans on torchvision→PIL C internals for image preprocessing
 (reference: data/preprocess.py:98-121), this framework ships its own C++
-implementation (native/vqa_preprocess.cc) — a bit-identical reimplementation
+implementation (vqa_tpu/native/vqa_preprocess.cc) — a bit-identical reimplementation
 of PIL's two-pass fixed-point bilinear resample, batched across a thread
 pool — bound via ctypes (no pybind11 dependency).
 
@@ -23,11 +23,27 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-_REPO_ROOT = os.path.dirname(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
-_SRC = os.path.join(_REPO_ROOT, "native", "vqa_preprocess.cc")
-_SO = os.path.join(_REPO_ROOT, "native", "libvqa_preprocess.so")
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_PKG_DIR, "vqa_preprocess.cc")
+
+
+def _so_path() -> str:
+    """Build target: next to the source when the package dir is writable
+    (repo checkout, editable install), else a per-user cache dir
+    (read-only site-packages)."""
+    if os.access(_PKG_DIR, os.W_OK):
+        return os.path.join(_PKG_DIR, "libvqa_preprocess.so")
+    cache = os.path.join(
+        os.environ.get(
+            "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")
+        ),
+        "vqa_tpu",
+    )
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libvqa_preprocess.so")
+
+
+_SO = _so_path()
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False

@@ -178,3 +178,18 @@ def create_synthetic_loaders(
         indices=np.arange(n_train, num_samples),
     )
     return train, val, base.tokenizer, base.answer_vocab
+
+
+def generate_scene(seed: int, image_size: int = 224):
+    """One fresh scene for demos/serving smoke tests: returns
+    ``(png_bytes, question, answer)``. Deterministic per seed; seeds at or
+    above any training ``num_samples`` are guaranteed unseen (training
+    scenes use rng streams keyed by ``train_seed * 1_000_003 + idx``)."""
+    import io
+
+    rng = np.random.default_rng(0xDEC0DE + seed)
+    img, placed = _draw_scene(rng, image_size)
+    question, answer, _ = _make_qa(rng, placed)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue(), question, answer

@@ -638,6 +638,12 @@ def parse_args(argv=None):
                         "JAX_PROCESS_ID)")
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu) via the config API "
+                        "— the axon PJRT plugin ignores JAX_PLATFORMS")
+    p.add_argument("--virtual-devices", type=int, default=None,
+                   help="with --platform cpu: number of virtual CPU devices "
+                        "(test multi-chip sharding without hardware)")
     return p.parse_args(argv)
 
 
@@ -647,6 +653,12 @@ def main(argv=None):
     from vqa_tpu.utils.config import MESH, PATHS
 
     args = parse_args(argv)
+    # platform forcing MUST precede the first backend touch; the axon PJRT
+    # plugin ignores the JAX_PLATFORMS env var, so use the config API
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.virtual_devices:
+        jax.config.update("jax_num_cpu_devices", args.virtual_devices)
     # multi-host init MUST precede the first backend touch
     distributed.initialize(
         coordinator_address=args.coordinator,

@@ -315,3 +315,58 @@ def test_mesh_from_config_rejects_non_divisible_explicit_dp():
     # divisible explicit dp is fine
     m = mesh_from_config(MeshConfig(data_parallel=4), batch_divisor=100)
     assert m.shape["data"] == 4
+
+
+def test_grad_accum_step_executes_on_dp_tp_mesh():
+    """grad_accum's lax.scan composes with dp×tp sharding: each microbatch
+    keeps its batch dim sharded over 'data', params stay TP-sharded, and
+    the scanned step matches the plain step's loss on a duplicated batch
+    (dropout off; BN normalizes per microbatch)."""
+    from vqa_tpu.training.train import TrainState, make_optimizer, make_train_step
+    from vqa_tpu.utils.config import TrainingConfig
+
+    mesh = create_mesh(data_parallel=4, model_parallel=2)
+    model = create_vqa_model(**TINY, dropout=0.0, answer_dropout=0.0)
+    variables = init_vqa_model(model, jax.random.PRNGKey(0))
+    tx, _ = make_optimizer(TrainingConfig(warmup_epochs=0), 10)
+
+    def fresh_state():
+        v = shard_variables(
+            jax.tree_util.tree_map(jnp.copy, variables), mesh
+        )
+        return TrainState.create(
+            apply_fn=model.apply, params=v["params"], tx=tx,
+            batch_stats=v["batch_stats"],
+        )
+
+    rng = np.random.default_rng(5)
+    bs = data_sharding(mesh)
+    images = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    ids = rng.integers(4, 64, size=(8, 6)).astype(np.int32)
+    mask = np.ones((8, 6), np.int32)
+    labels = rng.integers(0, 16, size=(8,)).astype(np.int32)
+
+    def put(x):
+        return jax.device_put(jnp.asarray(x), bs)
+
+    def dup(x):
+        return jax.device_put(jnp.asarray(np.concatenate([x, x], 0)), bs)
+
+    plain = make_train_step(model, grad_accum=1)
+    accum = make_train_step(model, grad_accum=2)
+    key = jax.random.PRNGKey(2)
+
+    s1, m1 = plain(fresh_state(), put(images), put(ids), put(mask),
+                   put(labels), key)
+    s2, m2 = accum(fresh_state(), dup(images), dup(ids), dup(mask),
+                   dup(labels), key)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               atol=1e-5)
+    wq = s2.params["text_encoder"]["layer0"]["self_attention"]["W_q"]["kernel"]
+    assert wq.sharding.spec == P(None, "model")
+    p1 = jax.tree_util.tree_leaves(s1.params)
+    p2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(p1, p2):
+        # atol 1e-4: AdamW's g/(√v+ε) amplifies last-bit f32 differences
+        # between (g+g)/2 and g on the first step
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -527,3 +527,27 @@ def test_fast_multipart_parser_hardening():
     fields = parse_multipart("multipart/form-data; boundary=B", body)
     assert fields["question"][0][1] == b"what is this"  # decoded
     assert fields["image"][0] == ("a.jpg", big)
+
+
+def test_metrics_prometheus_format(http_server):
+    """GET /metrics?format=prometheus emits text exposition format a
+    standard scraper accepts; JSON stays the default."""
+    # ensure at least one request has been counted
+    _post_multipart(
+        http_server + "/predict",
+        {"question": "what color is this"},
+        {"image": ("t.png", _png_bytes())},
+    )
+    req = urllib.request.Request(
+        http_server + "/metrics?format=prometheus"
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    assert "# TYPE vqa_requests_total counter" in text
+    assert "vqa_requests_total " in text
+    assert 'vqa_request_latency_ms{quantile="0.5"}' in text
+    # default stays JSON
+    with urllib.request.urlopen(http_server + "/metrics", timeout=30) as r:
+        j = json.loads(r.read())
+    assert j["count"] >= 1 and "p50_ms" in j

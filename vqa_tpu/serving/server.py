@@ -177,6 +177,30 @@ class VQAServer:
             return 200, self.batcher.latency_stats()
         return 404, {"detail": "Not Found"}
 
+    def prometheus_metrics(self) -> str:
+        """The same serving counters in Prometheus text exposition format
+        (``GET /metrics?format=prometheus``) so a standard scraper can
+        monitor the server without a JSON adapter."""
+        s = self.batcher.latency_stats()
+        lines = [
+            "# HELP vqa_requests_total Requests served through the batcher.",
+            "# TYPE vqa_requests_total counter",
+            f"vqa_requests_total {s.get('count', 0)}",
+            "# HELP vqa_batches_total Device forwards dispatched.",
+            "# TYPE vqa_batches_total counter",
+            f"vqa_batches_total {s.get('batches', 0)}",
+        ]
+        if s.get("count", 0):
+            lines += [
+                "# HELP vqa_request_latency_ms End-to-end request latency.",
+                "# TYPE vqa_request_latency_ms summary",
+                f'vqa_request_latency_ms{{quantile="0.5"}} {s["p50_ms"]:.3f}',
+                f'vqa_request_latency_ms{{quantile="0.99"}} {s["p99_ms"]:.3f}',
+                f"vqa_request_latency_ms_sum {s['mean_ms'] * s['count']:.3f}",
+                f"vqa_request_latency_ms_count {s['count']}",
+            ]
+        return "\n".join(lines) + "\n"
+
     def handle_predict(self, fields) -> Tuple[int, Any]:
         """POST /predict (reference: api/main.py:159-221)."""
         question = ""
@@ -272,9 +296,15 @@ class VQAServer:
                 self._send(204, b"", content_type="text/plain")
 
             def do_GET(self):
-                path = self.path.split("?")[0]
+                path, _, query = self.path.partition("?")
                 if path == "/app" or path.startswith("/app/"):
                     return self._serve_static(path)
+                if path == "/metrics" and "format=prometheus" in query:
+                    return self._send(
+                        200,
+                        server.prometheus_metrics().encode(),
+                        content_type="text/plain; version=0.0.4",
+                    )
                 status, payload = server.handle_get(path)
                 self._send(status, payload)
 

@@ -376,6 +376,15 @@ def test_evaluate_cli_synthetic_reuses_split_and_embeds_samples(tmp_path):
     with open(os.path.join(tmp_path, "evaluation_results.json")) as f:
         artifact = json.load(f)
     assert "sample_predictions" in artifact
+    # reference-compatible alias keys (reference: training/evaluate.py:130-137)
+    # so reference tooling reads our artifact unchanged
+    assert artifact["accuracy"] == artifact["top1_accuracy"]
+    assert artifact["accuracy_top5"] == artifact["top5_accuracy"]
+    assert artifact["total_samples"] == artifact["num_samples"]
+    assert artifact["common_errors"] == artifact["error_pairs"]
+    assert artifact["correct"] == round(
+        artifact["accuracy"] * artifact["total_samples"]
+    )
 
 
 def test_shard_for_process_disjoint_equal_cover():

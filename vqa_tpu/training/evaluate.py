@@ -381,8 +381,24 @@ def main(argv=None):
 
     out_dir = args.output_dir or args.checkpoint_dir
     os.makedirs(out_dir, exist_ok=True)
+    # reference-compatible aliases so tooling that reads the reference's
+    # evaluation_results.json works on ours unchanged
+    # (reference: training/evaluate.py:130-137 key names)
+    artifact = dict(results)
+    aliases = {
+        "accuracy": results.get("top1_accuracy"),
+        "accuracy_top5": results.get("top5_accuracy"),
+        "total_samples": results.get("num_samples"),
+        "per_class_accuracy": results.get("per_class_accuracy_top"),
+        "common_errors": results.get("error_pairs"),
+    }
+    if results.get("num_samples") and results.get("top1_accuracy") is not None:
+        aliases["correct"] = round(
+            results["top1_accuracy"] * results["num_samples"]
+        )
+    artifact.update({k: v for k, v in aliases.items() if v is not None})
     with open(os.path.join(out_dir, "evaluation_results.json"), "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(artifact, f, indent=2)
     with open(os.path.join(out_dir, "evaluation_report.txt"), "w") as f:
         f.write(report)
     return results

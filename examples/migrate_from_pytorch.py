@@ -9,10 +9,10 @@
 
 Usage:
     python examples/migrate_from_pytorch.py --pth best_model.pth \
-        [--out-dir /tmp/migrated] [--epochs 2] [--demo]
+        [--out-dir /tmp/migrated] [--epochs 2]
 
 Without ``--pth`` the script fabricates a reference-schema .pth from a
-freshly initialized model first, so it runs self-contained.
+freshly initialized tiny model first, so it runs self-contained.
 """
 
 import argparse
@@ -30,6 +30,9 @@ def main():
 
     os.makedirs(args.out_dir, exist_ok=True)
     pth = args.pth
+    # --tiny must match the imported checkpoint's architecture: a real
+    # reference .pth is full-size, the fabricated self-contained one is tiny
+    tiny = pth is None
     if pth is None:
         # self-contained mode: fabricate a reference-schema .pth
         import jax
@@ -50,8 +53,11 @@ def main():
     run([sys.executable, "-m", "vqa_tpu.compat.torch_import",
          "--pth", pth, "--out-dir", ckpt_dir])
 
-    # 2) continue training on TPU (demo data here; swap in real-data flags)
-    run([sys.executable, "-m", "vqa_tpu.training.train", "--demo", "--tiny",
+    # 2) continue training on TPU (demo data here; swap in real-data flags).
+    # NOTE: the CLI-built model must match the imported architecture — pass
+    # --embed-dim/--num-answers here if your checkpoint used non-defaults.
+    run([sys.executable, "-m", "vqa_tpu.training.train", "--demo",
+         *(["--tiny"] if tiny else []),
          "--epochs", str(args.epochs), "--checkpoint-dir", ckpt_dir,
          "--resume", "latest"])
 

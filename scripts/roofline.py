@@ -68,7 +68,10 @@ def main():
     text_f = layers * (4 * 2 * L * d * d + 2 * 2 * L * L * d +
                        2 * 2 * L * d * ffn)
     add("text encoder", text_f, layers * L * d * 6)
-    fusion_f = 2 * (4 * 2 * L * d * d + 2 * 2 * L * 49 * d +
+    # per cross-attn layer: Q and O project the L text tokens, K and V
+    # project the 49 image tokens
+    fusion_f = 2 * (2 * 2 * L * d * d + 2 * 2 * 49 * d * d +
+                    2 * 2 * L * 49 * d +
                     2 * 2 * L * d * 4 * d) + 2 * 49 * 512 * d
     add("fusion", fusion_f, 49 * d * 4 + L * d * 8)
     add("answer head", 2 * (d * 512 + 512 * d + d * 1000), 3000)

@@ -6,7 +6,7 @@ import os
 import re
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-FRONTEND = os.path.join(ROOT, "frontend")
+FRONTEND = os.path.join(ROOT, "vqa_tpu", "frontend")
 
 
 def _read(name):

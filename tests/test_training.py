@@ -381,7 +381,16 @@ def test_evaluate_cli_synthetic_reuses_split_and_embeds_samples(tmp_path):
     assert artifact["accuracy"] == artifact["top1_accuracy"]
     assert artifact["accuracy_top5"] == artifact["top5_accuracy"]
     assert artifact["total_samples"] == artifact["num_samples"]
-    assert artifact["common_errors"] == artifact["error_pairs"]
+    # common_errors entries carry the reference's exact schema: ints under
+    # *_idx, decoded strings under predicted/target
+    assert len(artifact["common_errors"]) == len(artifact["error_pairs"])
+    for ref_e, ours_e in zip(artifact["common_errors"],
+                             artifact["error_pairs"]):
+        assert ref_e["predicted_idx"] == ours_e["predicted"]
+        assert ref_e["target_idx"] == ours_e["target"]
+        assert ref_e["count"] == ours_e["count"]
+        assert ref_e["predicted"] == ours_e["predicted_answer"]
+        assert isinstance(ref_e["predicted"], str)
     assert artifact["correct"] == round(
         artifact["accuracy"] * artifact["total_samples"]
     )

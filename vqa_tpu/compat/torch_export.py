@@ -259,6 +259,7 @@ def export_checkpoint_dir(
         out_path,
         epoch=int(meta.get("epoch", 0)),
         best_val_accuracy=float(meta.get("best_val_accuracy", 0.0)),
+        metrics_history=meta.get("metrics_history") or {},
     )
 
 

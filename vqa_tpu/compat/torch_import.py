@@ -202,17 +202,23 @@ def convert_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": batch_stats}
 
 
-def load_torch_checkpoint(checkpoint_path: str):
+def load_torch_checkpoint(checkpoint_path: str, _ckpt=None):
     """Read a reference .pth checkpoint → (flax variables, ModelConfig).
 
     Handles the reference checkpoint schema
     (training/train.py:280-294): ``model_state_dict`` + embedded ``config``.
+    ``_ckpt`` lets a caller that already torch.loaded the file skip a second
+    deserialization of a potentially large pickle.
     """
-    import torch
-
     from vqa_tpu.utils.config import ModelConfig
 
-    ckpt = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
+    if _ckpt is None:
+        import torch
+
+        _ckpt = torch.load(
+            checkpoint_path, map_location="cpu", weights_only=False
+        )
+    ckpt = _ckpt
     state_dict = ckpt.get("model_state_dict", ckpt)
     ref_cfg = ckpt.get("config", {}) if isinstance(ckpt, dict) else {}
     cfg = ModelConfig(
@@ -253,7 +259,7 @@ def import_checkpoint_to_dir(
     from vqa_tpu.training.checkpoint import save_checkpoint
 
     ckpt = torch.load(pth_path, map_location="cpu", weights_only=False)
-    variables, cfg = load_torch_checkpoint(pth_path)
+    variables, cfg = load_torch_checkpoint(pth_path, _ckpt=ckpt)
     meta = {
         "epoch": int(ckpt.get("epoch", 0)) if isinstance(ckpt, dict) else 0,
         "best_val_accuracy": float(ckpt.get("best_val_accuracy", 0.0))

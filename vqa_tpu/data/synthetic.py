@@ -182,12 +182,14 @@ def create_synthetic_loaders(
 
 def generate_scene(seed: int, image_size: int = 224):
     """One fresh scene for demos/serving smoke tests: returns
-    ``(png_bytes, question, answer)``. Deterministic per seed; seeds at or
-    above any training ``num_samples`` are guaranteed unseen (training
-    scenes use rng streams keyed by ``train_seed * 1_000_003 + idx``)."""
+    ``(png_bytes, question, answer)``. Deterministic per seed. Training
+    scenes are seeded with a single integer (``train_seed * 1_000_003 +
+    idx``); this uses a two-element ``SeedSequence`` entropy list — a
+    structurally different entropy domain — so no generate_scene stream can
+    coincide with a training scene stream (an additive offset could)."""
     import io
 
-    rng = np.random.default_rng(0xDEC0DE + seed)
+    rng = np.random.default_rng(np.random.SeedSequence([0xDEC0DE, seed]))
     img, placed = _draw_scene(rng, image_size)
     question, answer, _ = _make_qa(rng, placed)
     buf = io.BytesIO()

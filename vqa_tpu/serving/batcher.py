@@ -65,9 +65,12 @@ class MicroBatcher:
                                            daemon=True)
         self._dispatcher.start()
         self._completer.start()
-        # observability: serving latency counters
+        # observability: serving latency counters. total_* are monotonic
+        # (Prometheus counter semantics); _latencies_ms is a sliding window
+        # for the quantiles only.
         self.total_requests = 0
         self.total_batches = 0
+        self.total_latency_ms = 0.0
         self._latencies_ms: List[float] = []
         self._lat_lock = threading.Lock()
 
@@ -82,8 +85,10 @@ class MicroBatcher:
         if req.error is not None:
             raise req.error
         with self._lat_lock:
+            lat_ms = (time.perf_counter() - t0) * 1000
             self.total_requests += 1
-            self._latencies_ms.append((time.perf_counter() - t0) * 1000)
+            self.total_latency_ms += lat_ms
+            self._latencies_ms.append(lat_ms)
             if len(self._latencies_ms) > 10000:
                 self._latencies_ms = self._latencies_ms[-5000:]
         return req.result
@@ -91,15 +96,22 @@ class MicroBatcher:
     def latency_stats(self) -> dict:
         with self._lat_lock:
             lat = list(self._latencies_ms)
+            totals = {
+                "total_requests": self.total_requests,
+                "total_latency_ms": self.total_latency_ms,
+                "batches": self.total_batches,
+            }
         if not lat:
-            return {"count": 0}
+            return {"count": 0, **totals}
         arr = np.asarray(lat)
         return {
+            # count/quantiles describe the sliding window; total_* are
+            # monotonic since server start
             "count": int(arr.size),
             "p50_ms": float(np.percentile(arr, 50)),
             "p99_ms": float(np.percentile(arr, 99)),
             "mean_ms": float(arr.mean()),
-            "batches": self.total_batches,
+            **totals,
         }
 
     def shutdown(self) -> None:

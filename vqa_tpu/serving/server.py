@@ -19,7 +19,7 @@ Concurrent requests funnel through the MicroBatcher so the TPU sees one
 bucket-padded forward per group — the serving improvement over the
 reference's one-forward-per-request design.
 
-Also serves the static frontend from ``frontend/`` at ``/app``.
+Also serves the static frontend from ``vqa_tpu/frontend/`` at ``/app``.
 """
 
 from __future__ import annotations
@@ -32,6 +32,7 @@ from email.parser import BytesParser
 from email.policy import HTTP
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List, Optional, Tuple
+from urllib.parse import parse_qs
 
 from vqa_tpu.data.preprocess import validate_question
 from vqa_tpu.serving import schemas
@@ -39,8 +40,10 @@ from vqa_tpu.serving.batcher import MicroBatcher
 from vqa_tpu.serving.engine import VQAInference
 from vqa_tpu.utils.config import InferenceConfig
 
+# the frontend ships inside the package (vqa_tpu/frontend) so pip installs
+# serve /app too
 _FRONTEND_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "frontend",
 )
 
@@ -185,19 +188,21 @@ class VQAServer:
         lines = [
             "# HELP vqa_requests_total Requests served through the batcher.",
             "# TYPE vqa_requests_total counter",
-            f"vqa_requests_total {s.get('count', 0)}",
+            f"vqa_requests_total {s.get('total_requests', 0)}",
             "# HELP vqa_batches_total Device forwards dispatched.",
             "# TYPE vqa_batches_total counter",
             f"vqa_batches_total {s.get('batches', 0)}",
         ]
         if s.get("count", 0):
+            # quantiles come from the batcher's sliding window (standard for
+            # summaries); _sum/_count are monotonic cumulative totals
             lines += [
                 "# HELP vqa_request_latency_ms End-to-end request latency.",
                 "# TYPE vqa_request_latency_ms summary",
                 f'vqa_request_latency_ms{{quantile="0.5"}} {s["p50_ms"]:.3f}',
                 f'vqa_request_latency_ms{{quantile="0.99"}} {s["p99_ms"]:.3f}',
-                f"vqa_request_latency_ms_sum {s['mean_ms'] * s['count']:.3f}",
-                f"vqa_request_latency_ms_count {s['count']}",
+                f"vqa_request_latency_ms_sum {s['total_latency_ms']:.3f}",
+                f"vqa_request_latency_ms_count {s['total_requests']}",
             ]
         return "\n".join(lines) + "\n"
 
@@ -299,7 +304,8 @@ class VQAServer:
                 path, _, query = self.path.partition("?")
                 if path == "/app" or path.startswith("/app/"):
                     return self._serve_static(path)
-                if path == "/metrics" and "format=prometheus" in query:
+                fmt = parse_qs(query).get("format", [""])[0]
+                if path == "/metrics" and fmt == "prometheus":
                     return self._send(
                         200,
                         server.prometheus_metrics().encode(),

@@ -390,8 +390,29 @@ def main(argv=None):
         "accuracy_top5": results.get("top5_accuracy"),
         "total_samples": results.get("num_samples"),
         "per_class_accuracy": results.get("per_class_accuracy_top"),
-        "common_errors": results.get("error_pairs"),
     }
+    if results.get("error_pairs") is not None:
+        # the reference's error entries are {predicted_idx, target_idx,
+        # count, predicted=<decoded str>, target=<decoded str>}
+        # (reference: training/evaluate.py:181-190) — ours use predicted/
+        # target for the ints, so a key-rename alone would silently hand
+        # reference tooling ints where it expects strings
+        aliases["common_errors"] = [
+            {
+                "predicted_idx": e["predicted"],
+                "target_idx": e["target"],
+                "count": e["count"],
+                **(
+                    {
+                        "predicted": e["predicted_answer"],
+                        "target": e["target_answer"],
+                    }
+                    if "predicted_answer" in e
+                    else {}
+                ),
+            }
+            for e in results["error_pairs"]
+        ]
     if results.get("num_samples") and results.get("top1_accuracy") is not None:
         aliases["correct"] = round(
             results["top1_accuracy"] * results["num_samples"]

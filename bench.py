@@ -35,18 +35,46 @@ _TPU_PEAK_BF16 = {
 
 
 def _chip_peak_flops(dtype_name: str):
-    """(peak_flops, generation) for the attached chip, or (None, kind)."""
+    """(peak_flops, generation) for the attached chip, or (None, kind).
+
+    Real device_kind strings do not contain the short generation names
+    ("TPU v5 lite" for v5e, "TPU v6 lite" for v6e, "TPU v5p", "TPU v4"),
+    so match explicit patterns, most specific first."""
     import jax
 
     kind = str(getattr(jax.devices()[0], "device_kind", "") or "")
     gen_env = os.environ.get("PALLAS_AXON_TPU_GEN", "")
     s = (kind + " " + gen_env).lower()
-    for gen, peak in _TPU_PEAK_BF16.items():
-        if gen in s:
+    patterns = [
+        ("v6 lite", "v6e"), ("v6e", "v6e"),
+        ("v5 lite", "v5e"), ("v5litepod", "v5e"), ("v5e", "v5e"),
+        ("v5p", "v5p"),
+        ("v4", "v4"), ("v3", "v3"),
+    ]
+    for pat, gen in patterns:
+        if pat in s:
+            peak = _TPU_PEAK_BF16[gen]
             if dtype_name == "float32":
                 peak /= 2  # f32 runs through the MXU at half rate
             return peak, gen
     return None, s.strip()
+
+
+def _mfu_fields(flops, batch, pairs_per_sec, dtype_name) -> dict:
+    """flops_per_pair / model_tflops_per_sec / mfu / chip JSON fields from
+    compiler-reported program FLOPs and measured throughput."""
+    if not flops:
+        return {}
+    per_pair = flops / batch
+    out = {
+        "flops_per_pair": round(per_pair),
+        "model_tflops_per_sec": round(per_pair * pairs_per_sec / 1e12, 2),
+    }
+    peak, gen = _chip_peak_flops(dtype_name)
+    if peak:
+        out["mfu"] = round(per_pair * pairs_per_sec / peak, 4)
+        out["chip"] = gen
+    return out
 
 
 def _compiled_flops(jitted, *example_args):
@@ -167,16 +195,8 @@ def bench_train(args):
         "dtype": dtype_name,
         "throughput_by_batch": results,
     }
-    flops = flops_by_batch.get(best_batch)
-    peak, gen = _chip_peak_flops(dtype_name)
-    if flops:
-        line["flops_per_pair"] = round(flops / best_batch)
-        line["model_tflops_per_sec"] = round(
-            flops / best_batch * best / 1e12, 2
-        )
-        if peak:
-            line["mfu"] = round(flops / best_batch * best / peak, 4)
-            line["chip"] = gen
+    line.update(_mfu_fields(flops_by_batch.get(best_batch), best_batch,
+                            best, dtype_name))
     print(json.dumps(line))
 
 
@@ -301,19 +321,9 @@ def main():
     if p50_b1 is not None:
         line["p50_latency_b1_ms"] = round(p50_b1, 3)
     # MFU: compiler-reported FLOPs/pair × measured pairs/s ÷ chip peak
-    flops = flops_by_batch.get(best_batch)
     dtype_name = str(dtype.__name__ if hasattr(dtype, "__name__") else dtype)
-    peak, gen = _chip_peak_flops(dtype_name)
-    if flops:
-        line["flops_per_pair"] = round(flops / best_batch)
-        line["model_tflops_per_sec"] = round(
-            flops / best_batch * best_throughput / 1e12, 2
-        )
-        if peak:
-            line["mfu"] = round(
-                flops / best_batch * best_throughput / peak, 4
-            )
-            line["chip"] = gen
+    line.update(_mfu_fields(flops_by_batch.get(best_batch), best_batch,
+                            best_throughput, dtype_name))
     print(json.dumps(line))
 
 

@@ -551,3 +551,43 @@ def test_metrics_prometheus_format(http_server):
     with urllib.request.urlopen(http_server + "/metrics", timeout=30) as r:
         j = json.loads(r.read())
     assert j["count"] >= 1 and "p50_ms" in j
+
+
+def test_parse_multipart_unquoted_and_case_variant_params():
+    """RFC 2045 allows unquoted token values and case-insensitive param
+    names; some hand-rolled clients send them. The fast parser must accept
+    both like the stdlib fallback does (regression: lowercase-quoted-only
+    regexes silently dropped such parts with no fallback)."""
+    body = (
+        b"--BOUND\r\n"
+        b"Content-Disposition: form-data; Name=question\r\n\r\n"
+        b"what is this\r\n"
+        b"--BOUND\r\n"
+        b"Content-Disposition: form-data; NAME=image; FileName=x.png\r\n"
+        b"Content-Type: image/png\r\n\r\n"
+        b"PNGDATA\r\n"
+        b"--BOUND--\r\n"
+    )
+    fields = parse_multipart('multipart/form-data; boundary="BOUND"', body)
+    assert fields["question"][0] == (None, b"what is this")
+    assert fields["image"][0] == ("x.png", b"PNGDATA")
+
+
+def test_batcher_shutdown_fails_fast_and_drains(engine):
+    """shutdown() must not strand queued requests: stranded submits get an
+    error immediately (not a 30 s timeout), and submits after shutdown
+    fail fast."""
+    from vqa_tpu.serving.batcher import MicroBatcher
+
+    b = MicroBatcher(engine, max_batch_size=4, batch_timeout_ms=1.0)
+    b.shutdown()
+    with pytest.raises(RuntimeError, match="shutting down"):
+        b.submit(_png_bytes(), "what is this", timeout=5.0)
+    # a request stranded in the queue at shutdown time gets its event set
+    from vqa_tpu.serving.batcher import _Request
+
+    stranded = _Request(image=_png_bytes(), question="q", top_k=5)
+    b._q.put(stranded)
+    b.shutdown()  # idempotent; drains the queue again
+    assert stranded.event.is_set()
+    assert isinstance(stranded.error, RuntimeError)

@@ -370,3 +370,29 @@ def test_grad_accum_step_executes_on_dp_tp_mesh():
         # atol 1e-4: AdamW's g/(√v+ε) amplifies last-bit f32 differences
         # between (g+g)/2 and g on the first step
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_trainer_auto_mesh_clamps_by_global_batch(monkeypatch):
+    """On multi-host pods the loaders hold per-PROCESS batch slices; the
+    Trainer's auto-mesh must clamp dp by the GLOBAL batch (local × process
+    count), not the local size — otherwise it builds a mesh restricted to
+    one host's devices (regression)."""
+    from vqa_tpu.data.dataset import create_demo_loaders
+    from vqa_tpu.training.train import Trainer
+    from vqa_tpu.utils.config import TrainingConfig
+
+    tl, vl = create_demo_loaders(
+        batch_size=4, eval_batch_size=4, num_samples=8,
+        image_size=32, max_question_length=6, vocab_size=64, num_answers=16,
+    )
+    model = create_vqa_model(**TINY)
+    variables = init_vqa_model(model, jax.random.PRNGKey(0))
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    trainer = Trainer(
+        model, variables, tl, vl,
+        config=TrainingConfig(num_epochs=1, batch_size=4, warmup_epochs=0),
+        save_checkpoints=False,
+    )
+    # local bs 4 × 2 processes = global 8 → all 8 devices usable
+    assert trainer.mesh.shape["data"] == 8

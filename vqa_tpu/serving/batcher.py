@@ -77,6 +77,8 @@ class MicroBatcher:
     # ------------------------------------------------------------------
     def submit(self, image, question: str, top_k: int = 5, timeout: float = 30.0) -> dict:
         """Blocking submit — returns the prediction dict."""
+        if self._stop.is_set():
+            raise RuntimeError("server shutting down")
         t0 = time.perf_counter()
         req = _Request(image=image, question=question, top_k=top_k)
         self._q.put(req)
@@ -122,6 +124,16 @@ class MicroBatcher:
         self._stop.set()
         self._dispatcher.join(timeout=2.0)
         self._completer.join(timeout=2.0)
+        # fail requests still waiting in the collect queue (the dispatcher
+        # exits without draining it) instead of leaving their submit()
+        # callers to hang until timeout; late submits fail fast the same way
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            req.error = RuntimeError("server shutting down")
+            req.event.set()
 
     # ------------------------------------------------------------------
     def _collect(self) -> List[_Request]:

@@ -63,9 +63,17 @@ INDEX_PAYLOAD = {
 
 
 _BOUNDARY_RE = re.compile(r'boundary="?([^";]+)"?', re.I)
-# anchored so name= inside filename="..." can never match first
-_NAME_RE = re.compile(rb'(?:^|[;\s])name="([^"]*)"')
-_FILENAME_RE = re.compile(rb'(?:^|[;\s])filename="([^"]*)"')
+# anchored so name= inside filename="..." can never match first; accepts
+# quoted strings and bare RFC 2045 tokens, case-insensitive (clients may
+# send `name=question` or `Name="question"` — the stdlib fallback parser
+# accepts both, so the fast path must too)
+_NAME_RE = re.compile(rb'(?:^|[;\s])name=(?:"([^"]*)"|([^";\s]+))', re.I)
+_FILENAME_RE = re.compile(rb'(?:^|[;\s])filename=(?:"([^"]*)"|([^";\s]+))', re.I)
+
+
+def _param(m) -> bytes:
+    """Quoted or bare value from a _NAME_RE/_FILENAME_RE match."""
+    return m.group(1) if m.group(1) is not None else m.group(2)
 _CTE_RE = re.compile(rb"content-transfer-encoding", re.I)
 
 
@@ -119,9 +127,9 @@ def parse_multipart(content_type: str, body: bytes) -> Dict[str, List[Tuple[Opti
             if name is None:
                 continue
             filename = _FILENAME_RE.search(head)
-            fields.setdefault(name.group(1).decode("utf-8", "replace"), []).append(
+            fields.setdefault(_param(name).decode("utf-8", "replace"), []).append(
                 (
-                    filename.group(1).decode("utf-8", "replace")
+                    _param(filename).decode("utf-8", "replace")
                     if filename
                     else None,
                     payload,

@@ -178,13 +178,19 @@ class Evaluator:
             )
             logits = np.asarray(out["logits"])
             valid = int(batch["valid"])
+            # softmax + top-5 on host over the whole fetched batch — no
+            # per-sample eager device dispatches (those would each compile
+            # a tiny program, tens of seconds cold over the TPU tunnel)
+            z = logits[:valid] - logits[:valid].max(axis=-1, keepdims=True)
+            probs = np.exp(z)
+            probs /= probs.sum(axis=-1, keepdims=True)
+            top_i = np.argsort(-probs, axis=-1)[:, :5]
+            top_p = np.take_along_axis(probs, top_i, axis=-1)
             for i in range(valid):
-                probs = jax.nn.softmax(jnp.asarray(logits[i]))
-                top_p, top_i = jax.lax.top_k(probs, 5)
                 entry = {
                     "target": int(batch["answer"][i]),
-                    "top5_indices": np.asarray(top_i).tolist(),
-                    "top5_probs": np.asarray(top_p).tolist(),
+                    "top5_indices": top_i[i].tolist(),
+                    "top5_probs": top_p[i].tolist(),
                 }
                 if tokenizer is not None:
                     entry["question"] = tokenizer.decode(batch["token_ids"][i])
@@ -193,8 +199,7 @@ class Evaluator:
                         int(batch["answer"][i])
                     )
                     entry["top5_answers"] = [
-                        self.answer_vocab.decode(int(j))
-                        for j in np.asarray(top_i)
+                        self.answer_vocab.decode(int(j)) for j in top_i[i]
                     ]
                 samples.append(entry)
                 if len(samples) >= num:
@@ -327,6 +332,13 @@ def main(argv=None):
             max_question_length=cfg.max_question_length,
             seed=seed,
         )
+        # --max-samples still caps WORK: truncate the (exactly rebuilt)
+        # val index range rather than silently evaluating the full split —
+        # the indices stay inside the held-out range either way
+        if args.max_samples and len(loader.indices) > args.max_samples:
+            loader.indices = loader.indices[: args.max_samples]
+            print(f"[Evaluator] --max-samples caps the val split to "
+                  f"{args.max_samples} of {num_samples - int(num_samples * 0.8)}")
         # decode with the SAME vocab that labeled the loader — a stale
         # answer_vocab.json (e.g. real-data checkpoint evaluated with
         # --synthetic) would silently mislabel indices

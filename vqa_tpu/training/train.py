@@ -274,17 +274,22 @@ class Trainer:
         if mesh is None:
             # Build from MeshConfig (global MESH unless one is passed) so
             # dp/tp degree is a config/flag change. In auto mode (-1) the
-            # data-parallel degree is clamped to divide the batch size.
+            # data-parallel degree is clamped to divide the GLOBAL batch
+            # size — on multi-host pods the loaders hold per-process
+            # slices, and clamping by the local size would build a mesh
+            # restricted to one host's devices (other hosts would then
+            # address shardings containing none of their devices).
             import math
 
             from vqa_tpu.parallel.mesh import mesh_from_config
 
             n_dev = len(jax.devices())
-            bs = math.gcd(
+            local_bs = math.gcd(
                 getattr(train_loader, "batch_size", n_dev),
                 getattr(val_loader, "batch_size", n_dev),
             )
-            mesh = mesh_from_config(mesh_config, batch_divisor=bs)
+            global_bs = local_bs * jax.process_count()
+            mesh = mesh_from_config(mesh_config, batch_divisor=global_bs)
         self.mesh = mesh
         self.checkpoint_dir = checkpoint_dir
         self.save_checkpoints = save_checkpoints and checkpoint_dir is not None
@@ -650,7 +655,7 @@ def parse_args(argv=None):
 def main(argv=None):
     from vqa_tpu.parallel import distributed
     from vqa_tpu.utils.cache import enable_compilation_cache
-    from vqa_tpu.utils.config import MESH, PATHS
+    from vqa_tpu.utils.config import MeshConfig, PATHS
 
     args = parse_args(argv)
     # platform forcing MUST precede the first backend touch; the axon PJRT
@@ -668,10 +673,18 @@ def main(argv=None):
     enable_compilation_cache()
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
-    if args.data_parallel is not None:
-        MESH.data_parallel = args.data_parallel
-    if args.model_parallel is not None:
-        MESH.model_parallel = args.model_parallel
+    # a per-run MeshConfig (NOT a mutation of the global MESH singleton —
+    # that would leak parallelism settings into later in-process runs)
+    mesh_config = None
+    if args.data_parallel is not None or args.model_parallel is not None:
+        mesh_config = MeshConfig(
+            data_parallel=args.data_parallel
+            if args.data_parallel is not None
+            else -1,
+            model_parallel=args.model_parallel
+            if args.model_parallel is not None
+            else 1,
+        )
     # each host's loader yields its per-process slice of the global batch
     # (data.pipeline assembles the global array from the local shards)
     per_process_bs = distributed.local_batch_size(args.batch_size)
@@ -800,6 +813,7 @@ def main(argv=None):
     trainer = Trainer(
         model, variables, train_loader, val_loader,
         config=tcfg,
+        mesh_config=mesh_config,
         checkpoint_dir=ckpt_dir,
         save_checkpoints=not args.no_save,
         seed=tcfg.seed,

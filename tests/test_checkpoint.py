@@ -111,3 +111,30 @@ def test_crash_between_forward_renames_completes_swap(tmp_path):
     assert ckpt_lib.checkpoint_exists(str(tmp_path), "latest")
     epoch, v = _load_epoch_and_value(tmp_path)
     assert (epoch, v) == (1, 2.0)
+
+
+def test_load_model_for_inference_dtype(tmp_path):
+    """dtype threads through to the rebuilt model (evaluate --bf16);
+    default stays f32 like the reference evaluator."""
+    import jax.numpy as jnp
+
+    from vqa_tpu.models import create_vqa_model, init_vqa_model
+    from vqa_tpu.utils.config import tiny_model_config
+
+    cfg = tiny_model_config()
+    model = create_vqa_model(config=cfg)
+    variables = init_vqa_model(model, jax.random.PRNGKey(0))
+    ckpt_lib.save_checkpoint(
+        str(tmp_path), "best_model",
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        cfg, {"epoch": 0},
+    )
+    m32, _ = ckpt_lib.load_model_for_inference(str(tmp_path))
+    assert m32.dtype == jnp.float32
+    mbf, v = ckpt_lib.load_model_for_inference(
+        str(tmp_path), dtype=jnp.bfloat16
+    )
+    assert mbf.dtype == jnp.bfloat16
+    # params are restored in f32 regardless (policy: f32 params)
+    leaf = jax.tree_util.tree_leaves(v["params"])[0]
+    assert np.asarray(leaf).dtype == np.float32

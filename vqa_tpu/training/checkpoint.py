@@ -195,10 +195,12 @@ def checkpoint_exists(base_dir: str, name: str) -> bool:
     )
 
 
-def load_model_for_inference(base_dir: str, name: str = "best_model"):
+def load_model_for_inference(base_dir: str, name: str = "best_model",
+                             dtype=None):
     """Model-only load reconstructing the architecture from the embedded
     config (reference: models/vqa_model.py:410-432). Returns
-    (model, {'params', 'batch_stats'})."""
+    (model, {'params', 'batch_stats'}). ``dtype`` sets the compute dtype
+    (params stay f32); default f32."""
     from vqa_tpu.models import create_vqa_model
 
     path = _ckpt_dir(base_dir, name)
@@ -208,7 +210,9 @@ def load_model_for_inference(base_dir: str, name: str = "best_model"):
     cfg = model_config_from_dict(sidecar["config"])
     with ocp.StandardCheckpointer() as ckptr:
         tree = ckptr.restore(path)
-    model = create_vqa_model(config=cfg)
+    import jax.numpy as _jnp
+
+    model = create_vqa_model(config=cfg, dtype=dtype or _jnp.float32)
     variables = {
         "params": tree["params"],
         "batch_stats": tree["batch_stats"],

@@ -506,3 +506,32 @@ def test_grad_accum_rejects_indivisible_batch():
             jnp.zeros((4,), jnp.int32),
             jax.random.PRNGKey(0),
         )
+
+
+def test_batch_loader_num_workers_matches_inline():
+    """Threaded sample fetch yields byte-identical batches to inline for a
+    deterministic dataset, and the augmented (shared-RNG) path is
+    thread-safe (spawned child generators, no corrupted state)."""
+    from vqa_tpu.data.synthetic import SyntheticVQADataset
+
+    ds = SyntheticVQADataset(
+        num_samples=16, image_size=32, max_question_length=6,
+        is_training=False, seed=3,
+    )
+    inline = BatchLoader(ds, 4, shuffle=False, drop_last=False)
+    threaded = BatchLoader(ds, 4, shuffle=False, drop_last=False,
+                           num_workers=4)
+    for a, b in zip(inline, threaded):
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["token_ids"], b["token_ids"])
+        np.testing.assert_array_equal(a["answer"], b["answer"])
+
+    aug_ds = SyntheticVQADataset(
+        num_samples=16, image_size=32, max_question_length=6,
+        is_training=True, seed=3,
+    )
+    loader = BatchLoader(aug_ds, 4, shuffle=True, drop_last=True,
+                         num_workers=4)
+    for batch in loader:
+        assert batch["image"].shape == (4, 32, 32, 3)
+        assert np.isfinite(batch["image"]).all()

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -58,6 +59,7 @@ class VQADataset:
         # has one core and per-sample host augmentation starves the TPU
         self.device_augment = device_augment
         self._rng = np.random.default_rng(seed)
+        self._rng_lock = threading.Lock()
 
         with open(questions_path, "r", encoding="utf-8") as f:
             questions = json.load(f)["questions"]
@@ -128,7 +130,13 @@ class VQADataset:
                 s["image_path"], self.image_size + 32, normalize=False
             )  # uint8 crop source; augmentation happens on-device
         elif self.is_training:
-            image = augment_image(s["image_path"], self._rng, self.image_size)
+            # spawn a child generator under the lock: numpy Generators are
+            # not thread-safe, and BatchLoader(num_workers>0) fetches
+            # samples concurrently; the (cheap) spawn is serialized, the
+            # decode+augment runs in parallel
+            with self._rng_lock:
+                rng = self._rng.spawn(1)[0]
+            image = augment_image(s["image_path"], rng, self.image_size)
         else:
             image = preprocess_image(s["image_path"], self.image_size)
         ids, mask = self.tokenizer.encode(s["question"])
@@ -206,6 +214,7 @@ class BatchLoader:
         drop_last: bool = True,
         seed: int = 42,
         indices: Optional[Sequence[int]] = None,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -218,6 +227,21 @@ class BatchLoader:
             if indices is not None
             else np.arange(len(dataset), dtype=np.int64)
         )
+        # num_workers > 0 fetches a batch's samples on a thread pool —
+        # JPEG decode + resize release the GIL (PIL C internals / the
+        # native resampler), so on multi-core hosts decode parallelizes.
+        # The analog of the reference's DataLoader num_workers knob
+        # (reference: utils/config.py:163, configured but set to 0); here
+        # threads, not processes — no pickling, shared tokenizer/vocab.
+        self.num_workers = num_workers
+        self._pool = None
+        if num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=num_workers,
+                thread_name_prefix="vqa-loader",
+            )
 
     def __len__(self) -> int:
         n = len(self.indices)
@@ -235,7 +259,12 @@ class BatchLoader:
             if valid < self.batch_size:  # pad final eval batch
                 pad = np.full(self.batch_size - valid, order[0], np.int64)
                 idx = np.concatenate([idx, pad])
-            samples = [self.dataset[int(i)] for i in idx]
+            if self._pool is not None:
+                samples = list(
+                    self._pool.map(lambda i: self.dataset[int(i)], idx)
+                )
+            else:
+                samples = [self.dataset[int(i)] for i in idx]
             batch = {
                 "image": np.stack([s["image"] for s in samples]),
                 "token_ids": np.stack([s["token_ids"] for s in samples]),
@@ -302,6 +331,7 @@ def create_train_val_loaders(
     image_size: int = 224,
     seed: int = 42,
     device_augment: bool = False,
+    num_workers: int = 0,
 ) -> Tuple[BatchLoader, BatchLoader, Tokenizer, AnswerVocabulary]:
     """Build train/val loaders with a shared tokenizer + answer vocab
     (reference: data/dataset.py:262-377, minus the triple construction).
@@ -337,11 +367,11 @@ def create_train_val_loaders(
 
     train_loader = BatchLoader(
         base, batch_size, shuffle=True, drop_last=True, seed=seed,
-        indices=train_idx,
+        indices=train_idx, num_workers=num_workers,
     )
     val_loader = BatchLoader(
         val_ds, eval_batch_size, shuffle=False, drop_last=False,
-        indices=val_idx,
+        indices=val_idx, num_workers=num_workers,
     )
     return train_loader, val_loader, base.tokenizer, base.answer_vocab
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
+import threading
 import numpy as np
 from PIL import Image, ImageDraw
 
@@ -101,6 +102,7 @@ class SyntheticVQADataset:
         self.device_augment = device_augment
         self.seed = seed
         self._aug_rng = np.random.default_rng(seed + 1)
+        self._rng_lock = threading.Lock()
 
         if answer_vocab is None:
             answer_vocab = AnswerVocabulary(num_answers=len(ANSWERS))
@@ -128,7 +130,11 @@ class SyntheticVQADataset:
             image = np.asarray(img, np.uint8)
         elif self.is_training:
             img, placed = _draw_scene(rng, self.image_size + 32)
-            image = augment_image(img, self._aug_rng, self.image_size)
+            # thread-safe: spawn a child generator (see dataset.BatchLoader
+            # num_workers) instead of mutating the shared one concurrently
+            with self._rng_lock:
+                aug_rng = self._aug_rng.spawn(1)[0]
+            image = augment_image(img, aug_rng, self.image_size)
         else:
             img, placed = _draw_scene(rng, self.image_size)
             image = normalize_image(np.asarray(img, np.uint8))

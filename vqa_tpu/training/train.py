@@ -598,6 +598,12 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--weight-decay", type=float, default=0.01)
     p.add_argument("--patience", type=int, default=10)
+    p.add_argument("--num-workers", type=int, default=0,
+                   help="threads decoding/augmenting samples per batch "
+                        "(JPEG decode + the native resampler release the "
+                        "GIL; the reference's DataLoader num_workers "
+                        "analog, reference: utils/config.py:163). 0 = "
+                        "inline (right for this 1-core host)")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="microbatches per optimizer step (lax.scan inside "
                         "one XLA program): ~N× lower activation memory for "
@@ -761,6 +767,7 @@ def main(argv=None):
                     image_size=mcfg.image_size,
                     seed=tcfg.seed,
                     device_augment=args.device_aug,
+                    num_workers=args.num_workers,
                 )
             )
             import dataclasses

@@ -591,3 +591,33 @@ def test_batcher_shutdown_fails_fast_and_drains(engine):
     b.shutdown()  # idempotent; drains the queue again
     assert stranded.event.is_set()
     assert isinstance(stranded.error, RuntimeError)
+
+
+def test_http_attention_endpoint(http_server):
+    """POST /attention returns prediction + per-token cross-attention maps
+    over the image grid (the surface the reference exposes only in Python,
+    models/vqa_model.py:341-369)."""
+    status, j = _post_multipart(
+        http_server + "/attention",
+        {"question": "what color is this"},
+        {"image": ("t.png", _png_bytes())},
+    )
+    assert status == 200
+    assert j["success"] is True, j.get("error")
+    assert j["top_answer"]
+    att = j["attention"]
+    assert att["tokens"], "no tokens returned"
+    size = att["spatial_size"]
+    assert size >= 1
+    assert len(att["maps"]) == len(att["tokens"])
+    m0 = np.asarray(att["maps"][0])
+    assert m0.shape == (size, size)
+    # rows of attention over the image grid sum to ~1 per token
+    np.testing.assert_allclose(m0.sum(), 1.0, atol=1e-3)
+    # validation errors stay the same contract
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_multipart(
+            http_server + "/attention", {"question": "hi"},
+            {"image": ("t.png", _png_bytes())},
+        )
+    assert e.value.code == 400

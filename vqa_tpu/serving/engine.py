@@ -70,6 +70,8 @@ class VQAInference:
         self.answer_vocab: Optional[AnswerVocabulary] = None
         self.model_loaded_from_checkpoint = False
         self._forward = None
+        self._attention_fwd = None
+        self._compute_dtype = None
         self._lock = threading.Lock()
 
     # ------------------------------------------------------------------
@@ -174,6 +176,7 @@ class VQAInference:
             return jax.nn.softmax(logits, axis=-1)
 
         self._forward = forward
+        self._compute_dtype = mdtype
         return self
 
     def _ensure_loaded(self):
@@ -329,6 +332,72 @@ class VQAInference:
         top_k = top_k or self.cfg.top_k
         probs = self.predict_batch_raw([image], [question])[0]
         return self._format_result(question, probs, top_k)
+
+    def attention_map(
+        self,
+        image: ImageInput,
+        question: str,
+        top_k: Optional[int] = None,
+    ) -> Dict[str, Any]:
+        """Prediction PLUS the question's cross-attention heatmap over the
+        image grid — the serving surface for the visualization API the
+        reference exposes only in Python (reference:
+        models/vqa_model.py:341-369). One jitted program returns
+        (softmax probs, layer/head-averaged [L, S, S] spatial maps);
+        compiled lazily on first use (a diagnostics path — keeping it out
+        of warmup() keeps server startup fast)."""
+        self._ensure_loaded()
+        if self._attention_fwd is None:
+            with self._lock:
+                if self._attention_fwd is None:
+                    import jax
+
+                    from vqa_tpu.models.fusion import attention_visualization
+
+                    model = self.model
+                    mdtype = self._compute_dtype
+
+                    @jax.jit
+                    def attention_forward(variables, pixels_u8, ids, mask):
+                        images = device_normalize(pixels_u8).astype(mdtype)
+                        logits, aux = model.apply(
+                            variables, images, ids, mask,
+                            train=False, return_aux=True,
+                        )
+                        spatial = attention_visualization(
+                            aux["cross_attention_weights"],
+                            model.config.feature_spatial_size,
+                        )
+                        import jax.numpy as jnp
+
+                        return (
+                            jax.nn.softmax(logits, axis=-1),
+                            spatial.astype(jnp.float32),
+                        )
+
+                    self._attention_fwd = attention_forward
+        pixels = self._preprocess_images([image])
+        ids, mask = self.tokenizer.encode_batch_np([question])
+        probs, spatial = self._attention_fwd(
+            self.variables, pixels, np.asarray(ids), np.asarray(mask)
+        )
+        probs = np.asarray(probs, np.float32)[0]
+        spatial = np.asarray(spatial, np.float32)[0]  # [L, S, S]
+        n_tokens = int(np.asarray(mask)[0].sum())
+        tokens = [
+            self.tokenizer.idx2word.get(int(t), "<UNK>")
+            for t in np.asarray(ids)[0][:n_tokens]
+        ]
+        result = self._format_result(
+            question, probs, top_k or self.cfg.top_k
+        )
+        result["attention"] = {
+            "tokens": tokens,
+            "spatial_size": int(self.model.config.feature_spatial_size),
+            # per-token maps for the question's real tokens only
+            "maps": spatial[:n_tokens].tolist(),
+        }
+        return result
 
     def predict_batch(
         self,

@@ -106,3 +106,22 @@ def validate_index(payload: Dict[str, Any]) -> Dict[str, Any]:
     _field(payload, "version", str)
     _field(payload, "endpoints", dict)
     return payload
+
+
+def validate_attention(payload: Dict[str, Any]) -> Dict[str, Any]:
+    """PredictionResponse + {attention: {tokens[], spatial_size,
+    maps[L][S][S]}} — the cross-attention visualization endpoint (no
+    reference HTTP counterpart; mirrors models/vqa_model.py:341-369)."""
+    validate_prediction(payload)
+    att = _field(payload, "attention", dict)
+    tokens = _field(att, "tokens", list)
+    size = _field(att, "spatial_size", int)
+    maps = _field(att, "maps", list)
+    _check(len(maps) == len(tokens),
+           f"{len(maps)} maps for {len(tokens)} tokens")
+    for m in maps:
+        _check(
+            len(m) == size and all(len(row) == size for row in m),
+            f"attention map is not {size}x{size}",
+        )
+    return payload

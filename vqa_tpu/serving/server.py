@@ -57,6 +57,7 @@ INDEX_PAYLOAD = {
         "health": "GET /health - Health check",
         "model-info": "GET /model-info - Model information",
         "metrics": "GET /metrics - Serving latency stats",
+        "attention": "POST /attention - Prediction + cross-attention heatmaps",
         "app": "GET /app - Web frontend",
     },
 }
@@ -71,10 +72,12 @@ _NAME_RE = re.compile(rb'(?:^|[;\s])name=(?:"([^"]*)"|([^";\s]+))', re.I)
 _FILENAME_RE = re.compile(rb'(?:^|[;\s])filename=(?:"([^"]*)"|([^";\s]+))', re.I)
 
 
+_CTE_RE = re.compile(rb"content-transfer-encoding", re.I)
+
+
 def _param(m) -> bytes:
     """Quoted or bare value from a _NAME_RE/_FILENAME_RE match."""
     return m.group(1) if m.group(1) is not None else m.group(2)
-_CTE_RE = re.compile(rb"content-transfer-encoding", re.I)
 
 
 def _parse_multipart_email(content_type: str, body: bytes):
@@ -214,6 +217,42 @@ class VQAServer:
             ]
         return "\n".join(lines) + "\n"
 
+    def handle_attention(self, fields) -> Tuple[int, Any]:
+        """POST /attention — prediction + cross-attention heatmaps (the
+        reference exposes this surface only in Python,
+        models/vqa_model.py:341-369). A diagnostics path: runs on the
+        engine directly (not the batcher); its program compiles lazily on
+        first use."""
+        question = ""
+        try:
+            images = fields.get("image", [])
+            if not images:
+                return 400, {"detail": "image file is required"}
+            filename, image_bytes = images[0]
+            qs = fields.get("question", [])
+            question = qs[0][1].decode("utf-8", "replace").strip() if qs else ""
+            ok, err = validate_question(question, min_words=2)
+            if not ok:
+                return 400, {"detail": err}
+            if filename and not _looks_like_image(filename, image_bytes):
+                return 400, {"detail": "File must be an image"}
+            top_k = int(fields.get("top_k", [(None, b"5")])[0][1] or 5)
+
+            result = self.engine.attention_map(image_bytes, question, top_k)
+            return 200, schemas.validate_attention(
+                {**result, "success": True, "error": None}
+            )
+        except Exception as e:  # success:false payload, not a 500
+            return 200, {
+                "question": question,
+                "top_answer": "",
+                "confidence": 0.0,
+                "answers": [],
+                "attention": {"tokens": [], "spatial_size": 0, "maps": []},
+                "success": False,
+                "error": str(e),
+            }
+
     def handle_predict(self, fields) -> Tuple[int, Any]:
         """POST /predict (reference: api/main.py:159-221)."""
         question = ""
@@ -348,6 +387,8 @@ class VQAServer:
                     status, payload = server.handle_predict(fields)
                 elif path == "/predict-batch":
                     status, payload = server.handle_predict_batch(fields)
+                elif path == "/attention":
+                    status, payload = server.handle_attention(fields)
                 else:
                     status, payload = 404, {"detail": "Not Found"}
                 self._send(status, payload)

@@ -74,6 +74,20 @@ def create_app(checkpoint_dir: Optional[str] = None):
         }
         return respond(server.handle_predict(fields))
 
+    @app.post("/attention")
+    async def attention(
+        image: UploadFile = File(...),
+        question: str = Form(...),
+        top_k: int = Form(5),
+    ):
+        data = await image.read()
+        fields = {
+            "image": [(image.filename, data)],
+            "question": [(None, question.encode())],
+            "top_k": [(None, str(top_k).encode())],
+        }
+        return respond(server.handle_attention(fields))
+
     @app.post("/predict-batch")
     async def predict_batch(
         images: List[UploadFile] = File(...),

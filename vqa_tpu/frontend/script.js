@@ -123,15 +123,20 @@ async function submit() {
   form.append("question", question);
   form.append("top_k", "5");
 
+  // /attention = /predict + per-token cross-attention heatmaps
+  const withAttention = el("show-attention").checked;
+  const endpoint = withAttention ? "/attention" : "/predict";
+
   el("ask").disabled = true;
   el("result").hidden = true;
   setStatus("Thinking…", false, true);
   const t0 = performance.now();
   try {
-    const r = await fetch(`${API_BASE}/predict`, { method: "POST", body: form });
+    const r = await fetch(`${API_BASE}${endpoint}`, { method: "POST", body: form });
     const j = await r.json();
     if (!j.success) throw new Error(j.error || j.detail || "prediction failed");
     renderResult(j, performance.now() - t0);
+    renderAttention(withAttention ? j.attention : null);
   } catch (err) {
     setStatus(`Error: ${err.message}`, true);
   } finally {
@@ -156,4 +161,79 @@ function renderResult(j, ms) {
     ul.appendChild(li);
   });
   el("timing").textContent = `answered in ${ms.toFixed(0)} ms`;
+}
+
+// ---- attention heatmaps ----------------------------------------------------
+// Draws a token's [S,S] cross-attention map as a translucent overlay on the
+// image; chips below switch between "all" (token average) and each token.
+function renderAttention(att) {
+  const box = el("attention-box");
+  if (!att || !att.maps || !att.maps.length) {
+    box.hidden = true;
+    return;
+  }
+  box.hidden = false;
+  el("attn-image").src = el("preview").src;
+
+  const avg = att.maps[0].map((row, y) =>
+    row.map((_, x) =>
+      att.maps.reduce((s, m) => s + m[y][x], 0) / att.maps.length
+    )
+  );
+
+  const chips = el("attn-tokens");
+  chips.innerHTML = "";
+  const addChip = (label, map) => {
+    const b = document.createElement("button");
+    b.className = "attn-chip";
+    b.textContent = label;
+    b.addEventListener("click", () => {
+      chips.querySelectorAll(".attn-chip").forEach((c) =>
+        c.classList.remove("active"));
+      b.classList.add("active");
+      drawHeatmap(map, att.spatial_size);
+    });
+    chips.appendChild(b);
+    return b;
+  };
+  const all = addChip("all", avg);
+  att.tokens.forEach((t, i) => {
+    if (t === "<START>" || t === "<END>" || t === "<PAD>") return;
+    addChip(t, att.maps[i]);
+  });
+  all.classList.add("active");
+  drawHeatmap(avg, att.spatial_size);
+}
+
+function drawHeatmap(map, size) {
+  const canvas = el("attn-canvas");
+  const img = el("attn-image");
+  const paint = () => {
+    canvas.width = img.clientWidth;
+    canvas.height = img.clientHeight;
+    const small = document.createElement("canvas");
+    small.width = size;
+    small.height = size;
+    const sctx = small.getContext("2d");
+    const data = sctx.createImageData(size, size);
+    let max = 0;
+    map.forEach((row) => row.forEach((v) => { if (v > max) max = v; }));
+    for (let y = 0; y < size; y++) {
+      for (let x = 0; x < size; x++) {
+        const v = map[y][x] / (max || 1);
+        const o = (y * size + x) * 4;
+        data.data[o] = 255;            // warm overlay
+        data.data[o + 1] = 80 * (1 - v);
+        data.data[o + 2] = 40 * (1 - v);
+        data.data[o + 3] = Math.round(185 * v); // alpha ∝ attention
+      }
+    }
+    sctx.putImageData(data, 0, 0);
+    const ctx = canvas.getContext("2d");
+    ctx.clearRect(0, 0, canvas.width, canvas.height);
+    ctx.imageSmoothingEnabled = true;
+    ctx.drawImage(small, 0, 0, canvas.width, canvas.height);
+  };
+  if (img.complete && img.clientWidth) paint();
+  else img.onload = paint;
 }

@@ -211,3 +211,50 @@ def test_real_loaders_device_aug_end_to_end(tmp_path):
     )
     m = trainer.train_epoch(0)
     assert np.isfinite(m["train_loss"])
+
+
+def test_real_loaders_num_workers_threaded_decode(tmp_path):
+    """create_train_val_loaders(num_workers=2): the real-data path decodes
+    JPEG samples on the thread pool and val batches stay byte-identical to
+    inline (the val transform is deterministic)."""
+    import json as _json
+
+    from PIL import Image
+
+    from vqa_tpu.data.dataset import create_train_val_loaders
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    questions, annotations = [], []
+    for i in range(10):
+        Image.new("RGB", (50, 40), (i * 20, 100, 150)).save(
+            img_dir / f"{i:012d}.jpg"
+        )
+        questions.append(
+            {"question_id": i, "image_id": i, "question": "what color is it"}
+        )
+        annotations.append(
+            {"question_id": i, "multiple_choice_answer": "red" if i % 2 else "blue"}
+        )
+    qp, ap = tmp_path / "q.json", tmp_path / "a.json"
+    qp.write_text(_json.dumps({"questions": questions}))
+    ap.write_text(_json.dumps({"annotations": annotations}))
+
+    kwargs = dict(
+        batch_size=4, eval_batch_size=2, max_question_length=6,
+        vocab_size=50, num_answers=8, image_size=S,
+    )
+    _, val_inline, _, _ = create_train_val_loaders(
+        str(qp), str(ap), str(img_dir), **kwargs
+    )
+    train_thr, val_thr, _, _ = create_train_val_loaders(
+        str(qp), str(ap), str(img_dir), num_workers=2, **kwargs
+    )
+    assert val_thr.num_workers == 2
+    for a, b in zip(val_inline, val_thr):
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["answer"], b["answer"])
+    # augmented train path: threaded fetch runs and yields sane batches
+    tb = next(iter(train_thr))
+    assert tb["image"].shape == (4, S, S, 3)
+    assert np.isfinite(tb["image"]).all()

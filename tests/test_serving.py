@@ -621,3 +621,20 @@ def test_http_attention_endpoint(http_server):
             {"image": ("t.png", _png_bytes())},
         )
     assert e.value.code == 400
+
+
+def test_http_oversized_body_rejected_413(http_server):
+    """Bodies above max_body_mb are refused up-front (server-side backstop
+    for the frontend's 10 MB client check) — the server must not buffer an
+    arbitrarily large upload before deciding."""
+    req = urllib.request.Request(
+        http_server + "/predict",
+        data=b"x" * 1024,  # small actual body; the header claims huge
+        headers={
+            "Content-Type": "multipart/form-data; boundary=B",
+            "Content-Length": str(300 * 1024 * 1024),
+        },
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 413

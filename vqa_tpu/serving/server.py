@@ -378,6 +378,12 @@ class VQAServer:
             def do_POST(self):
                 path = self.path.split("?")[0]
                 length = int(self.headers.get("Content-Length", 0))
+                if length > server.cfg.max_body_mb * 1024 * 1024:
+                    return self._send(
+                        413,
+                        {"detail": f"request body exceeds "
+                                   f"{server.cfg.max_body_mb} MB"},
+                    )
                 body = self.rfile.read(length)
                 ctype = self.headers.get("Content-Type", "")
                 if "multipart/form-data" not in ctype:

@@ -167,6 +167,11 @@ class InferenceConfig:
     # hard cap on images per /predict-batch request (413-style guard);
     # within it, oversized batches are chunked into warmed buckets
     max_request_batch: int = 128
+    # reject request bodies above this size with 413 before reading them —
+    # an unbounded read would buffer an arbitrarily large upload in memory
+    # (the frontend enforces 10 MB per image client-side; this is the
+    # server-side backstop sized for a max_request_batch of images)
+    max_body_mb: int = 256
 
 
 @dataclass

@@ -249,10 +249,22 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle order for the NEXT iteration to ``epoch``
+        (torch DistributedSampler-style). Orders are derived from
+        (seed, epoch), so epoch N's batch order is identical whether the
+        run reached N uninterrupted or resumed from a checkpoint — the
+        Trainer calls this every epoch."""
+        self._epoch = epoch
+
     def __iter__(self):
         order = self.indices.copy()
         if self.shuffle:
-            self._rng.shuffle(order)
+            # (seed, epoch)-derived order; auto-advance when nobody calls
+            # set_epoch so bare iteration still reshuffles per pass
+            epoch = getattr(self, "_epoch", 0)
+            np.random.default_rng([self.seed, epoch]).shuffle(order)
+            self._epoch = epoch + 1
         for b in range(len(self)):
             idx = order[b * self.batch_size : (b + 1) * self.batch_size]
             valid = len(idx)
@@ -298,8 +310,10 @@ def shard_for_process(
     """Per-host sample sharding for multi-host pods (the torch
     DistributedSampler analog, which the single-device reference never
     needs): each process gets a disjoint stride-slice of the loader's
-    indices and its own shuffle stream, so the global batch assembled by
-    ``data.pipeline`` contains distinct samples. No-op single-process."""
+    indices, so the global batch assembled by ``data.pipeline`` contains
+    distinct samples (orders derive from (seed, epoch) via set_epoch —
+    shuffling disjoint index sets with a shared stream is fine). No-op
+    single-process."""
     import copy
 
     import jax
@@ -313,7 +327,6 @@ def shard_for_process(
     # host with one extra batch would deadlock the pod on its last step
     per = len(loader.indices) // pc
     sharded.indices = loader.indices[pi::pc][:per]
-    sharded._rng = np.random.default_rng(loader.seed + pi)
     return sharded
 
 

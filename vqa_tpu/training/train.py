@@ -73,7 +73,7 @@ def make_optimizer(
     return tx, schedule
 
 
-def make_train_step(model, grad_accum: int = 1):
+def make_train_step(model, grad_accum: int = 1, label_smoothing: float = 0.0):
     """Build the jitted train step: forward+CE+backward+update+BN-EMA in one
     XLA program. Metrics (loss, top1/top5 counts) stay on device.
 
@@ -84,7 +84,17 @@ def make_train_step(model, grad_accum: int = 1):
     cost of smaller matmuls per microbatch. BatchNorm normalizes each
     microbatch with its own statistics (train-mode semantics) and chains the
     EMA update through the scan carry, which matches running the microbatches
-    as separate steps stats-wise."""
+    as separate steps stats-wise. ``label_smoothing`` > 0 smooths the CE
+    targets uniformly over the answer classes."""
+
+    def _ce(logits, labels):
+        if label_smoothing:
+            n = logits.shape[-1]
+            targets = optax.smooth_labels(
+                jax.nn.one_hot(labels, n), label_smoothing
+            )
+            return optax.softmax_cross_entropy(logits, targets)
+        return optax.softmax_cross_entropy_with_integer_labels(logits, labels)
 
     if grad_accum == 1:
 
@@ -102,9 +112,7 @@ def make_train_step(model, grad_accum: int = 1):
                     mutable=["batch_stats"],
                     rngs={"dropout": step_rng},
                 )
-                loss = optax.softmax_cross_entropy_with_integer_labels(
-                    logits, labels
-                ).mean()
+                loss = _ce(logits, labels).mean()
                 return loss, (logits, mutated["batch_stats"])
 
             (loss, (logits, new_stats)), grads = jax.value_and_grad(
@@ -149,9 +157,7 @@ def make_train_step(model, grad_accum: int = 1):
                 mutable=["batch_stats"],
                 rngs={"dropout": mb_rng},
             )
-            loss = optax.softmax_cross_entropy_with_integer_labels(
-                logits, mb_labels
-            ).mean()
+            loss = _ce(logits, mb_labels).mean()
             return loss, (logits, mutated["batch_stats"])
 
         def body(carry, xs):
@@ -305,7 +311,11 @@ class Trainer:
             tx=self.tx,
             batch_stats=variables.get("batch_stats", {}),
         )
-        self.train_step = make_train_step(model, grad_accum=self.cfg.grad_accum)
+        self.train_step = make_train_step(
+            model,
+            grad_accum=self.cfg.grad_accum,
+            label_smoothing=self.cfg.label_smoothing,
+        )
         self.val_step = make_val_step(model)
         self.batch_sharding = data_sharding(self.mesh)
         # on-device augmentation program for uint8 train batches
@@ -519,6 +529,10 @@ class Trainer:
         try:
             for epoch in range(self.start_epoch, self.cfg.num_epochs):
                 t0 = time.time()
+                # (seed, epoch)-pinned shuffle: epoch N's data order is the
+                # same whether the run got here uninterrupted or resumed
+                if hasattr(self.train_loader, "set_epoch"):
+                    self.train_loader.set_epoch(epoch)
                 trace_dir = (
                     self.profile_dir if epoch == self.start_epoch else None
                 )
@@ -604,6 +618,9 @@ def parse_args(argv=None):
                         "GIL; the reference's DataLoader num_workers "
                         "analog, reference: utils/config.py:163). 0 = "
                         "inline (right for this 1-core host)")
+    p.add_argument("--label-smoothing", type=float, default=0.0,
+                   help="uniform label smoothing on the CE loss "
+                        "(0 = the reference's plain CE)")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="microbatches per optimizer step (lax.scan inside "
                         "one XLA program): ~N× lower activation memory for "
@@ -703,6 +720,7 @@ def main(argv=None):
         num_epochs=args.epochs,
         early_stop_patience=args.patience,
         grad_accum=args.grad_accum,
+        label_smoothing=args.label_smoothing,
         use_bf16=not args.no_bf16,
         seed=args.seed,
     )

@@ -134,6 +134,10 @@ class TrainingConfig:
     warmup_epochs: int = 2
 
     num_epochs: int = 30
+    # uniform label smoothing on the 1000-way CE loss (0 = the reference's
+    # plain CE, training/train.py:120). TPU-native addition; standard
+    # regularizer for large-answer-vocabulary classification.
+    label_smoothing: float = 0.0
     # microbatches per optimizer step (lax.scan over the split batch inside
     # ONE jitted program). 1 = the reference's plain step. Gradients are
     # averaged across microbatches; BN normalizes per microbatch and chains

@@ -638,3 +638,26 @@ def test_http_oversized_body_rejected_413(http_server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 413
+
+
+def test_attention_map_on_dp_mesh_matches_single_device():
+    """attention_map pads/shards like every other forward path: on a dp8
+    mesh it executes and matches the single-device maps (regression: an
+    unsharded batch-of-1 against mesh-sharded params)."""
+    from vqa_tpu.parallel.mesh import create_mesh
+
+    cfg = InferenceConfig(batch_buckets=(1, 4))
+    base = VQAInference(model_config=TINY_CFG, config=cfg).load()
+    sharded = VQAInference(
+        model_config=TINY_CFG, config=cfg, mesh=create_mesh(data_parallel=8)
+    ).load()
+    img, q = _png_bytes(), "what color is this"
+    r0 = base.attention_map(img, q, top_k=3)
+    r1 = sharded.attention_map(img, q, top_k=3)
+    assert r1["top_answer"] == r0["top_answer"]
+    assert r1["attention"]["tokens"] == r0["attention"]["tokens"]
+    np.testing.assert_allclose(
+        np.asarray(r1["attention"]["maps"]),
+        np.asarray(r0["attention"]["maps"]),
+        atol=2e-4, rtol=2e-4,
+    )

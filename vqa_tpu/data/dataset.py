@@ -221,7 +221,6 @@ class BatchLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
-        self._rng = np.random.default_rng(seed)
         self.indices = (
             np.asarray(indices, np.int64)
             if indices is not None
@@ -242,6 +241,17 @@ class BatchLoader:
                 max_workers=num_workers,
                 thread_name_prefix="vqa-loader",
             )
+
+    def close(self) -> None:
+        """Release the decode thread pool (no-op for num_workers=0).
+
+        Explicit-only — no ``__del__``: ``shard_for_process`` shallow-copies
+        loaders, so a garbage-collected copy must not tear down a pool the
+        original still uses. Unclosed idle pools are joined at interpreter
+        exit by concurrent.futures anyway."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
 
     def __len__(self) -> int:
         n = len(self.indices)
@@ -398,6 +408,7 @@ def create_demo_loaders(
     vocab_size: int = 1000,
     num_answers: int = 1000,
     seed: int = 42,
+    num_workers: int = 0,
 ) -> Tuple[BatchLoader, BatchLoader]:
     """Demo loaders (reference: data/dataset.py:439-472)."""
     n_train = int(num_samples * 0.8)
@@ -407,6 +418,7 @@ def create_demo_loaders(
     )
     train = BatchLoader(
         ds, batch_size, shuffle=True, drop_last=True, seed=seed,
+        num_workers=num_workers,
         indices=np.arange(n_train),
     )
     val = BatchLoader(

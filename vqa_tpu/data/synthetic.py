@@ -160,6 +160,7 @@ def create_synthetic_loaders(
     train_split: float = 0.8,
     device_augment: bool = False,
     seed: int = 42,
+    num_workers: int = 0,
 ):
     """(train_loader, val_loader, tokenizer, answer_vocab) over disjoint
     deterministic sample ranges (val never sees a training scene)."""
@@ -177,7 +178,7 @@ def create_synthetic_loaders(
     n_train = int(num_samples * train_split)
     train = BatchLoader(
         base, batch_size, shuffle=True, drop_last=True, seed=seed,
-        indices=np.arange(n_train),
+        indices=np.arange(n_train), num_workers=num_workers,
     )
     val = BatchLoader(
         val_ds, eval_batch_size, shuffle=False, drop_last=False,

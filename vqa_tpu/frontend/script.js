@@ -175,9 +175,15 @@ function renderAttention(att) {
   box.hidden = false;
   el("attn-image").src = el("preview").src;
 
-  const avg = att.maps[0].map((row, y) =>
+  // average over the REAL word tokens only — <START>/<END> carry diffuse
+  // attention and are excluded from the chip list, so the default "all"
+  // view must agree with the chips the user can select
+  const special = new Set(["<START>", "<END>", "<PAD>"]);
+  const wordMaps = att.maps.filter((_, i) => !special.has(att.tokens[i]));
+  const maps = wordMaps.length ? wordMaps : att.maps;
+  const avg = maps[0].map((row, y) =>
     row.map((_, x) =>
-      att.maps.reduce((s, m) => s + m[y][x], 0) / att.maps.length
+      maps.reduce((s, m) => s + m[y][x], 0) / maps.length
     )
   );
 

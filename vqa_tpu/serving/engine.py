@@ -95,11 +95,9 @@ class VQAInference:
             from vqa_tpu.training import checkpoint as ckpt_lib
 
             if ckpt_lib.checkpoint_exists(self.checkpoint_dir, self.checkpoint_name):
-                model, variables = ckpt_lib.load_model_for_inference(
-                    self.checkpoint_dir, self.checkpoint_name
+                self.model, self.variables = ckpt_lib.load_model_for_inference(
+                    self.checkpoint_dir, self.checkpoint_name, dtype=dtype
                 )
-                self.model = create_vqa_model(config=model.config, dtype=dtype)
-                self.variables = variables
                 loaded = True
                 print(f"[Inference] loaded checkpoint {self.checkpoint_name}")
             else:
@@ -376,11 +374,21 @@ class VQAInference:
                         )
 
                     self._attention_fwd = attention_forward
-        pixels = self._preprocess_images([image])
-        ids, mask = self.tokenizer.encode_batch_np([question])
-        probs, spatial = self._attention_fwd(
-            self.variables, pixels, np.asarray(ids), np.asarray(mask)
+        # pad to the DP degree and shard like every other forward path —
+        # an unsharded batch-of-1 against mesh-sharded params would hand
+        # GSPMD a batch dim indivisible by the data axis
+        dp = self._dp
+        pixels = self._preprocess_images([image] * dp)
+        ids, mask = self.tokenizer.encode_batch_np([question] * dp)
+        pixels, ids, mask = (
+            np.asarray(pixels), np.asarray(ids), np.asarray(mask)
         )
+        if self._batch_sharding is not None:
+            pixels, ids, mask = (
+                jax.device_put(x, self._batch_sharding)
+                for x in (pixels, ids, mask)
+            )
+        probs, spatial = self._attention_fwd(self.variables, pixels, ids, mask)
         probs = np.asarray(probs, np.float32)[0]
         spatial = np.asarray(spatial, np.float32)[0]  # [L, S, S]
         n_tokens = int(np.asarray(mask)[0].sum())

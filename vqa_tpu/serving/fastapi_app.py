@@ -60,13 +60,24 @@ def create_app(checkpoint_dir: Optional[str] = None):
     async def metrics():
         return server.handle_get("/metrics")[1]
 
+    def _cap(data: bytes):
+        # same 413 backstop as the stdlib server (InferenceConfig.max_body_mb)
+        if len(data) > server.cfg.max_body_mb * 1024 * 1024:
+            from fastapi import HTTPException
+
+            raise HTTPException(
+                status_code=413,
+                detail=f"request body exceeds {server.cfg.max_body_mb} MB",
+            )
+        return data
+
     @app.post("/predict")
     async def predict(
         image: UploadFile = File(...),
         question: str = Form(...),
         top_k: int = Form(5),
     ):
-        data = await image.read()
+        data = _cap(await image.read())
         fields = {
             "image": [(image.filename, data)],
             "question": [(None, question.encode())],
@@ -80,7 +91,7 @@ def create_app(checkpoint_dir: Optional[str] = None):
         question: str = Form(...),
         top_k: int = Form(5),
     ):
-        data = await image.read()
+        data = _cap(await image.read())
         fields = {
             "image": [(image.filename, data)],
             "question": [(None, question.encode())],
@@ -94,7 +105,7 @@ def create_app(checkpoint_dir: Optional[str] = None):
         questions: str = Form(...),
     ):
         fields = {
-            "images": [(im.filename, await im.read()) for im in images],
+            "images": [(im.filename, _cap(await im.read())) for im in images],
             "questions": [(None, questions.encode())],
         }
         return respond(server.handle_predict_batch(fields))

@@ -217,6 +217,25 @@ class VQAServer:
             ]
         return "\n".join(lines) + "\n"
 
+    @staticmethod
+    def _parse_predict_fields(fields):
+        """Shared /predict + /attention field validation → either
+        ``(None, (image_bytes, question, top_k))`` or ``((status, payload),
+        None)`` for a 400."""
+        images = fields.get("image", [])
+        if not images:
+            return (400, {"detail": "image file is required"}), None
+        filename, image_bytes = images[0]
+        qs = fields.get("question", [])
+        question = qs[0][1].decode("utf-8", "replace").strip() if qs else ""
+        ok, err = validate_question(question, min_words=2)
+        if not ok:
+            return (400, {"detail": err}), None
+        if filename and not _looks_like_image(filename, image_bytes):
+            return (400, {"detail": "File must be an image"}), None
+        top_k = int(fields.get("top_k", [(None, b"5")])[0][1] or 5)
+        return None, (image_bytes, question, top_k)
+
     def handle_attention(self, fields) -> Tuple[int, Any]:
         """POST /attention — prediction + cross-attention heatmaps (the
         reference exposes this surface only in Python,
@@ -225,18 +244,10 @@ class VQAServer:
         first use."""
         question = ""
         try:
-            images = fields.get("image", [])
-            if not images:
-                return 400, {"detail": "image file is required"}
-            filename, image_bytes = images[0]
-            qs = fields.get("question", [])
-            question = qs[0][1].decode("utf-8", "replace").strip() if qs else ""
-            ok, err = validate_question(question, min_words=2)
-            if not ok:
-                return 400, {"detail": err}
-            if filename and not _looks_like_image(filename, image_bytes):
-                return 400, {"detail": "File must be an image"}
-            top_k = int(fields.get("top_k", [(None, b"5")])[0][1] or 5)
+            error, parsed = self._parse_predict_fields(fields)
+            if error is not None:
+                return error
+            image_bytes, question, top_k = parsed
 
             result = self.engine.attention_map(image_bytes, question, top_k)
             return 200, schemas.validate_attention(
@@ -257,18 +268,10 @@ class VQAServer:
         """POST /predict (reference: api/main.py:159-221)."""
         question = ""
         try:
-            images = fields.get("image", [])
-            if not images:
-                return 400, {"detail": "image file is required"}
-            filename, image_bytes = images[0]
-            qs = fields.get("question", [])
-            question = qs[0][1].decode("utf-8", "replace").strip() if qs else ""
-            ok, err = validate_question(question, min_words=2)
-            if not ok:
-                return 400, {"detail": err}
-            if filename and not _looks_like_image(filename, image_bytes):
-                return 400, {"detail": "File must be an image"}
-            top_k = int(fields.get("top_k", [(None, b"5")])[0][1] or 5)
+            error, parsed = self._parse_predict_fields(fields)
+            if error is not None:
+                return error
+            image_bytes, question, top_k = parsed
 
             result = self.batcher.submit(image_bytes, question, top_k)
             return 200, schemas.validate_prediction(
@@ -379,6 +382,10 @@ class VQAServer:
                 path = self.path.split("?")[0]
                 length = int(self.headers.get("Content-Length", 0))
                 if length > server.cfg.max_body_mb * 1024 * 1024:
+                    # the body is NOT read — close the connection so the
+                    # unread bytes can't be parsed as the next keep-alive
+                    # request on this socket
+                    self.close_connection = True
                     return self._send(
                         413,
                         {"detail": f"request body exceeds "

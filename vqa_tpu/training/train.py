@@ -760,6 +760,7 @@ def main(argv=None):
                 max_question_length=mcfg.max_question_length,
                 device_augment=args.device_aug,
                 seed=tcfg.seed,
+                num_workers=args.num_workers,
             )
         )
         mcfg = dataclasses.replace(
@@ -805,6 +806,7 @@ def main(argv=None):
             vocab_size=mcfg.vocab_size,
             num_answers=mcfg.num_answers,
             seed=tcfg.seed,
+            num_workers=args.num_workers,
         )
 
     if distributed.process_count() > 1:

@@ -443,17 +443,37 @@ def main(argv=None):
                    help="force a jax platform (e.g. cpu). Applied via the "
                         "config API because out-of-tree PJRT plugins (axon) "
                         "ignore the JAX_PLATFORMS env var.")
+    p.add_argument("--data-parallel", type=int, default=None,
+                   help="shard serving batches over this many chips on the "
+                        "'data' mesh axis (buckets round up to a multiple "
+                        "of it; dpN output ≡ single-device, tested)")
+    p.add_argument("--virtual-devices", type=int, default=None,
+                   help="with --platform cpu: number of virtual CPU "
+                        "devices (exercise --data-parallel without "
+                        "hardware)")
     args = p.parse_args(argv)
 
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.virtual_devices:
+        import jax
+
+        jax.config.update("jax_num_cpu_devices", args.virtual_devices)
+
+    mesh = None
+    if args.data_parallel and args.data_parallel > 1:
+        from vqa_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(data_parallel=args.data_parallel)
+        print(f"[API] serving over a dp{args.data_parallel} mesh")
 
     model_config = tiny_model_config() if args.tiny else None
     engine = VQAInference(
         checkpoint_dir=args.checkpoint_dir or PATHS.checkpoint_dir,
         model_config=model_config,
+        mesh=mesh,
     )
     server = VQAServer(engine=engine)
 

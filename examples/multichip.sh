@@ -22,3 +22,7 @@ python -m vqa_tpu.training.train --demo --tiny --epochs 1 --batch-size 16 \
 # evaluation shards the same way
 # python -m vqa_tpu.training.evaluate --checkpoint-dir checkpoints --demo \
 #     --platform cpu --virtual-devices 8 --data-parallel 8
+
+# serving too: bucket batches shard over the chips (dpN ≡ single-device)
+# python -m vqa_tpu.serving.server --checkpoint-dir checkpoints \
+#     --platform cpu --virtual-devices 8 --data-parallel 8

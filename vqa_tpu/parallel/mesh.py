@@ -79,6 +79,11 @@ def mesh_from_config(cfg=None, batch_divisor: Optional[int] = None) -> Mesh:
             f"data_parallel={dp} does not divide the batch size "
             f"{batch_divisor}; pick a divisor or use data_parallel=-1 (auto)"
         )
+    if dp * mp > n_dev:
+        raise ValueError(
+            f"mesh {dp}×{mp} needs {dp * mp} devices but only {n_dev} are "
+            f"available (use --virtual-devices on CPU, or lower the degrees)"
+        )
     return create_mesh(
         data_parallel=dp,
         model_parallel=mp,

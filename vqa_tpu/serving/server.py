@@ -439,34 +439,26 @@ def main(argv=None):
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--tiny", action="store_true",
                    help="tiny random model (smoke/demo)")
-    p.add_argument("--platform", default=os.environ.get("JAX_PLATFORMS") or None,
-                   help="force a jax platform (e.g. cpu). Applied via the "
-                        "config API because out-of-tree PJRT plugins (axon) "
-                        "ignore the JAX_PLATFORMS env var.")
+    from vqa_tpu.utils.platform import add_platform_args, apply_platform_args
+
+    add_platform_args(p)
     p.add_argument("--data-parallel", type=int, default=None,
                    help="shard serving batches over this many chips on the "
                         "'data' mesh axis (buckets round up to a multiple "
                         "of it; dpN output ≡ single-device, tested)")
-    p.add_argument("--virtual-devices", type=int, default=None,
-                   help="with --platform cpu: number of virtual CPU "
-                        "devices (exercise --data-parallel without "
-                        "hardware)")
     args = p.parse_args(argv)
 
-    if args.platform:
-        import jax
-
-        jax.config.update("jax_platforms", args.platform)
-    if args.virtual_devices:
-        import jax
-
-        jax.config.update("jax_num_cpu_devices", args.virtual_devices)
+    apply_platform_args(args)
 
     mesh = None
     if args.data_parallel and args.data_parallel > 1:
-        from vqa_tpu.parallel.mesh import create_mesh
+        # mesh_from_config fail-fasts with a named ValueError when the
+        # degree exceeds the available devices (create_mesh's bare assert
+        # would surface as an opaque traceback, or be stripped under -O)
+        from vqa_tpu.parallel.mesh import mesh_from_config
+        from vqa_tpu.utils.config import MeshConfig
 
-        mesh = create_mesh(data_parallel=args.data_parallel)
+        mesh = mesh_from_config(MeshConfig(data_parallel=args.data_parallel))
         print(f"[API] serving over a dp{args.data_parallel} mesh")
 
     model_config = tiny_model_config() if args.tiny else None

@@ -255,11 +255,9 @@ def parse_args(argv=None):
     # multi-chip evaluation (batches shard over the 'data' mesh axis)
     p.add_argument("--data-parallel", type=int, default=None)
     p.add_argument("--model-parallel", type=int, default=None)
-    p.add_argument("--platform", default=None,
-                   help="force a jax platform (e.g. cpu) via the config API "
-                        "— the axon PJRT plugin ignores JAX_PLATFORMS")
-    p.add_argument("--virtual-devices", type=int, default=None,
-                   help="with --platform cpu: number of virtual CPU devices")
+    from vqa_tpu.utils.platform import add_platform_args
+
+    add_platform_args(p)
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute for the eval forward (~2x faster on "
                         "TPU; default f32 exactly like the reference "
@@ -273,14 +271,11 @@ def main(argv=None):
     from vqa_tpu.training.checkpoint import load_model_for_inference
     from vqa_tpu.utils.cache import enable_compilation_cache
 
+    from vqa_tpu.utils.platform import apply_platform_args
+
     args = parse_args(argv)
     # platform forcing MUST precede the first backend touch
-    import jax as _jax
-
-    if args.platform:
-        _jax.config.update("jax_platforms", args.platform)
-    if args.virtual_devices:
-        _jax.config.update("jax_num_cpu_devices", args.virtual_devices)
+    apply_platform_args(args)
     enable_compilation_cache()
 
     from vqa_tpu.training.checkpoint import checkpoint_exists

@@ -666,12 +666,9 @@ def parse_args(argv=None):
                         "JAX_PROCESS_ID)")
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
-    p.add_argument("--platform", default=None,
-                   help="force a jax platform (e.g. cpu) via the config API "
-                        "— the axon PJRT plugin ignores JAX_PLATFORMS")
-    p.add_argument("--virtual-devices", type=int, default=None,
-                   help="with --platform cpu: number of virtual CPU devices "
-                        "(test multi-chip sharding without hardware)")
+    from vqa_tpu.utils.platform import add_platform_args
+
+    add_platform_args(p)
     return p.parse_args(argv)
 
 
@@ -680,13 +677,11 @@ def main(argv=None):
     from vqa_tpu.utils.cache import enable_compilation_cache
     from vqa_tpu.utils.config import MeshConfig, PATHS
 
+    from vqa_tpu.utils.platform import apply_platform_args
+
     args = parse_args(argv)
-    # platform forcing MUST precede the first backend touch; the axon PJRT
-    # plugin ignores the JAX_PLATFORMS env var, so use the config API
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-    if args.virtual_devices:
-        jax.config.update("jax_num_cpu_devices", args.virtual_devices)
+    # platform forcing MUST precede the first backend touch
+    apply_platform_args(args)
     # multi-host init MUST precede the first backend touch
     distributed.initialize(
         coordinator_address=args.coordinator,

@@ -661,3 +661,14 @@ def test_attention_map_on_dp_mesh_matches_single_device():
         np.asarray(r0["attention"]["maps"]),
         atol=2e-4, rtol=2e-4,
     )
+    # second call must also succeed (regression: a function-local
+    # `import jax` inside the one-time compile block shadowed the module
+    # import, so every call after the first raised UnboundLocalError at
+    # the device_put on the dp path)
+    r2 = sharded.attention_map(img, q, top_k=3)
+    assert r2["top_answer"] == r0["top_answer"]
+    np.testing.assert_allclose(
+        np.asarray(r2["attention"]["maps"]),
+        np.asarray(r1["attention"]["maps"]),
+        atol=1e-6,
+    )

@@ -123,6 +123,13 @@ class VQADataset:
     def __len__(self) -> int:
         return len(self.samples)
 
+    def type_vocab(self) -> List[str]:
+        """Sorted distinct question types — lets loaders carry integer
+        ``type_ids`` so per-type accuracy reduces ON DEVICE (the reference's
+        VQAAccuracy per-type plumbing exists but is never fed,
+        reference: utils/metrics.py:97-105). Metadata-only: no image I/O."""
+        return sorted({s["question_type"] for s in self.samples})
+
     def __getitem__(self, idx: int) -> dict:
         s = self.samples[idx]
         if self.is_training and self.device_augment:
@@ -177,6 +184,9 @@ class DemoVQADataset:
 
     def __len__(self) -> int:
         return self.num_samples
+
+    def type_vocab(self) -> List[str]:
+        return ["demo"]
 
     def __getitem__(self, idx: int) -> dict:
         rng = np.random.default_rng(self.seed * 100003 + idx)
@@ -233,6 +243,16 @@ class BatchLoader:
         # (reference: utils/config.py:163, configured but set to 0); here
         # threads, not processes — no pickling, shared tokenizer/vocab.
         self.num_workers = num_workers
+        # integer question-type ids ride in every batch so per-type
+        # accuracy can reduce on device (multi-host safe — no host-side
+        # string matching against a non-addressable global array)
+        tv = getattr(dataset, "type_vocab", None)
+        self.type_vocab = list(tv()) if callable(tv) else None
+        self._type2id = (
+            {t: i for i, t in enumerate(self.type_vocab)}
+            if self.type_vocab
+            else None
+        )
         self._pool = None
         if num_workers > 0:
             from concurrent.futures import ThreadPoolExecutor
@@ -305,6 +325,14 @@ class BatchLoader:
                 ).astype(np.int32),
                 "question_types": [s.get("question_type", "unknown") for s in samples],
             }
+            if self._type2id is not None:
+                batch["type_ids"] = np.asarray(
+                    [
+                        self._type2id.get(s.get("question_type"), 0)
+                        for s in samples
+                    ],
+                    np.int32,
+                )
             if "annotator_answers" in samples[0]:
                 batch["annotator_answers"] = np.stack(
                     [s["annotator_answers"] for s in samples]
@@ -423,7 +451,7 @@ def create_demo_loaders(
     )
     val = BatchLoader(
         ds, eval_batch_size, shuffle=False, drop_last=False,
-        indices=np.arange(n_train, num_samples),
+        indices=np.arange(n_train, num_samples), num_workers=num_workers,
     )
     return train, val
 

@@ -123,6 +123,10 @@ class SyntheticVQADataset:
     def __len__(self) -> int:
         return self.num_samples
 
+    def type_vocab(self):
+        """The three question templates of _make_qa (sorted)."""
+        return ["how many", "is there", "what color"]
+
     def __getitem__(self, idx: int) -> dict:
         rng = np.random.default_rng(self.seed * 1_000_003 + idx)
         if self.is_training and self.device_augment:

@@ -40,9 +40,13 @@ def create_mesh(
         model_parallel = 1
     if data_parallel <= 0:
         data_parallel = n // model_parallel
-    assert data_parallel * model_parallel <= n, (
-        f"mesh {data_parallel}x{model_parallel} needs more than {n} devices"
-    )
+    if data_parallel * model_parallel > n:
+        # named error (not assert) so direct callers keep the guard under -O
+        raise ValueError(
+            f"mesh {data_parallel}×{model_parallel} needs "
+            f"{data_parallel * model_parallel} devices but only {n} are "
+            f"available (use --virtual-devices on CPU, or lower the degrees)"
+        )
     grid = np.array(devs[: data_parallel * model_parallel]).reshape(
         data_parallel, model_parallel
     )

@@ -82,6 +82,12 @@ class MicroBatcher:
         t0 = time.perf_counter()
         req = _Request(image=image, question=question, top_k=top_k)
         self._q.put(req)
+        # close the submit/shutdown race: a put that slipped in after
+        # shutdown()'s drain pass would otherwise sit in a dead queue until
+        # the caller's full timeout — re-check and drain (failing fast any
+        # stranded request, possibly including this one)
+        if self._stop.is_set():
+            self._drain_pending()
         if not req.event.wait(timeout):
             raise TimeoutError("prediction timed out")
         if req.error is not None:
@@ -127,6 +133,12 @@ class MicroBatcher:
         # fail requests still waiting in the collect queue (the dispatcher
         # exits without draining it) instead of leaving their submit()
         # callers to hang until timeout; late submits fail fast the same way
+        self._drain_pending()
+
+    def _drain_pending(self) -> None:
+        """Fail-fast every request still in the collect queue. Safe to call
+        from multiple threads: each queued request is claimed by exactly one
+        get_nowait."""
         while True:
             try:
                 req = self._q.get_nowait()

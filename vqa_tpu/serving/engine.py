@@ -348,8 +348,6 @@ class VQAInference:
         if self._attention_fwd is None:
             with self._lock:
                 if self._attention_fwd is None:
-                    import jax
-
                     from vqa_tpu.models.fusion import attention_visualization
 
                     model = self.model
@@ -366,8 +364,6 @@ class VQAInference:
                             aux["cross_attention_weights"],
                             model.config.feature_spatial_size,
                         )
-                        import jax.numpy as jnp
-
                         return (
                             jax.nn.softmax(logits, axis=-1),
                             spatial.astype(jnp.float32),

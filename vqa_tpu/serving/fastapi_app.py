@@ -11,7 +11,7 @@ from __future__ import annotations
 from typing import List, Optional
 
 try:
-    from fastapi import FastAPI, File, Form, UploadFile
+    from fastapi import FastAPI, File, Form, Request, UploadFile
     from fastapi.middleware.cors import CORSMiddleware
 
     HAS_FASTAPI = True
@@ -60,23 +60,44 @@ def create_app(checkpoint_dir: Optional[str] = None):
     async def metrics():
         return server.handle_get("/metrics")[1]
 
-    def _cap(data: bytes):
-        # same 413 backstop as the stdlib server (InferenceConfig.max_body_mb)
-        if len(data) > server.cfg.max_body_mb * 1024 * 1024:
-            from fastapi import HTTPException
+    def _too_large():
+        from fastapi import HTTPException
 
-            raise HTTPException(
-                status_code=413,
-                detail=f"request body exceeds {server.cfg.max_body_mb} MB",
-            )
+        raise HTTPException(
+            status_code=413,
+            detail=f"request body exceeds {server.cfg.max_body_mb} MB",
+        )
+
+    def _cap_bytes() -> int:
+        return server.cfg.max_body_mb * 1024 * 1024
+
+    def _check_content_length(request: "Request"):
+        # reject on the declared Content-Length BEFORE consuming the body,
+        # like the stdlib server — the cap is a memory backstop, so it must
+        # fire before the upload is buffered, not after
+        cl = request.headers.get("content-length")
+        if cl is not None:
+            try:
+                if int(cl) > _cap_bytes():
+                    _too_large()
+            except ValueError:
+                pass  # malformed header; fall through to post-read checks
+
+    def _cap(data: bytes, already: int = 0):
+        # post-read backstop for chunked bodies (no Content-Length);
+        # `already` makes the cap cover the SUM across a multi-file request
+        if already + len(data) > _cap_bytes():
+            _too_large()
         return data
 
     @app.post("/predict")
     async def predict(
+        request: Request,
         image: UploadFile = File(...),
         question: str = Form(...),
         top_k: int = Form(5),
     ):
+        _check_content_length(request)
         data = _cap(await image.read())
         fields = {
             "image": [(image.filename, data)],
@@ -87,10 +108,12 @@ def create_app(checkpoint_dir: Optional[str] = None):
 
     @app.post("/attention")
     async def attention(
+        request: Request,
         image: UploadFile = File(...),
         question: str = Form(...),
         top_k: int = Form(5),
     ):
+        _check_content_length(request)
         data = _cap(await image.read())
         fields = {
             "image": [(image.filename, data)],
@@ -101,11 +124,19 @@ def create_app(checkpoint_dir: Optional[str] = None):
 
     @app.post("/predict-batch")
     async def predict_batch(
+        request: Request,
         images: List[UploadFile] = File(...),
         questions: str = Form(...),
     ):
+        _check_content_length(request)
+        blobs = []
+        total = 0
+        for im in images:
+            data = _cap(await im.read(), already=total)
+            total += len(data)
+            blobs.append((im.filename, data))
         fields = {
-            "images": [(im.filename, _cap(await im.read())) for im in images],
+            "images": blobs,
             "questions": [(None, questions.encode())],
         }
         return respond(server.handle_predict_batch(fields))

@@ -194,15 +194,20 @@ def make_train_step(model, grad_accum: int = 1, label_smoothing: float = 0.0):
     return train_step
 
 
-def make_val_step(model):
+def make_val_step(model, num_types: int = 0):
     """Jitted validation step reducing to scalar sums ON DEVICE (pad rows
     masked by ``valid_mask``). Replicated scalars are readable on every
     host, so this path works unchanged on multi-host pods — unlike host-side
-    ``[:valid]`` slicing, which cannot touch a non-addressable global array."""
+    ``[:valid]`` slicing, which cannot touch a non-addressable global array.
+
+    ``num_types > 0`` adds per-question-type (correct, total) sums via an
+    on-device scatter-add over integer ``type_ids`` — the reference's
+    VQAAccuracy per-type plumbing, actually fed during training validation
+    (reference: utils/metrics.py:97-105, never called there)."""
 
     @jax.jit
     def val_step(params, batch_stats, images, token_ids, mask, labels,
-                 valid_mask):
+                 valid_mask, type_ids=None):
         logits, _ = model.apply(
             {"params": params, "batch_stats": batch_stats},
             images,
@@ -215,12 +220,20 @@ def make_val_step(model):
             logits, labels
         )
         flags1, flags5 = topk_flags(logits, labels, k=5)
-        return {
+        out = {
             "loss_sum": jnp.sum(loss_vec * w),
             "correct1": jnp.sum(flags1 * w),
             "correct5": jnp.sum(flags5 * w),
             "n": jnp.sum(w),
         }
+        if num_types and type_ids is not None:
+            out["type_correct"] = (
+                jnp.zeros(num_types, jnp.float32).at[type_ids].add(flags1 * w)
+            )
+            out["type_total"] = (
+                jnp.zeros(num_types, jnp.float32).at[type_ids].add(w)
+            )
+        return out
 
     return val_step
 
@@ -316,7 +329,13 @@ class Trainer:
             grad_accum=self.cfg.grad_accum,
             label_smoothing=self.cfg.label_smoothing,
         )
-        self.val_step = make_val_step(model)
+        # per-question-type val accuracy when the val loader carries a type
+        # vocabulary (integer type_ids reduce on device — multi-host safe)
+        self.val_type_vocab = getattr(val_loader, "type_vocab", None)
+        self.val_step = make_val_step(
+            model,
+            num_types=len(self.val_type_vocab) if self.val_type_vocab else 0,
+        )
         self.batch_sharding = data_sharding(self.mesh)
         # on-device augmentation program for uint8 train batches
         # (data.preprocess.device_augment; loaders opt in via device_augment)
@@ -409,19 +428,24 @@ class Trainer:
         # lag-1 pipelining: the next batch dispatches before the previous
         # batch's scalars are fetched, hiding the device→host round-trip
         loss_sum, c1, c5, n = 0.0, 0.0, 0.0, 0.0
+        use_types = bool(self.val_type_vocab)
+        t_correct = t_total = 0.0
         pending = None
 
         def consume(out):
-            nonlocal loss_sum, c1, c5, n
+            nonlocal loss_sum, c1, c5, n, t_correct, t_total
             loss_sum += float(out["loss_sum"])
             c1 += float(out["correct1"])
             c5 += float(out["correct5"])
             n += float(out["n"])
+            if "type_correct" in out:
+                t_correct = t_correct + np.asarray(out["type_correct"])
+                t_total = t_total + np.asarray(out["type_total"])
 
         for batch in prefetch_to_device(
             self.val_loader, sharding=self.batch_sharding
         ):
-            out = self.val_step(
+            args = [
                 self.state.params,
                 self.state.batch_stats,
                 batch["image"],
@@ -429,18 +453,28 @@ class Trainer:
                 batch["attention_mask"],
                 batch["answer"],
                 batch["valid_mask"],
-            )
+            ]
+            if use_types and "type_ids" in batch:
+                args.append(batch["type_ids"])
+            out = self.val_step(*args)
             if pending is not None:
                 consume(pending)
             pending = out
         if pending is not None:
             consume(pending)
         n = max(n, 1)
-        return {
+        metrics = {
             "val_loss": loss_sum / n,
             "val_top1": c1 / n,
             "val_top5": c5 / n,
         }
+        if use_types and np.ndim(t_total):
+            metrics["val_per_type"] = {
+                qt: float(c) / float(t)
+                for qt, c, t in zip(self.val_type_vocab, t_correct, t_total)
+                if t > 0
+            }
+        return metrics
 
     # ------------------------------------------------------------------
     def _state_tree(self) -> Dict[str, Any]:
@@ -546,13 +580,27 @@ class Trainer:
                 val_metrics = self.validate()
                 lr = float(self.schedule(int(self.state.step)))
                 metrics = {**train_metrics, **val_metrics, "lr": lr}
-                self.logger.log(epoch, metrics)
+                # per-type accuracy is a nested dict: history/TB get it as
+                # namespaced scalars ("val_per_type/<type>"), the epoch
+                # line stays scalars-only (history JSON remains the
+                # reference's flat float-list format)
+                scalars = {
+                    k: v for k, v in metrics.items()
+                    if isinstance(v, (int, float))
+                }
+                flat = dict(scalars)
+                for k, v in metrics.items():
+                    if isinstance(v, dict):
+                        flat.update(
+                            {f"{k}/{qt}": acc for qt, acc in v.items()}
+                        )
+                self.logger.log(epoch, flat)
                 if self.scalar_writer is not None:
-                    self.scalar_writer.log_scalars(epoch, metrics)
+                    self.scalar_writer.log_scalars(epoch, flat)
                 dt = time.time() - t0
                 print(
                     f"[Trainer] epoch {epoch}: "
-                    + " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+                    + " ".join(f"{k}={v:.4f}" for k, v in scalars.items())
                     + f" ({dt:.1f}s)"
                 )
 
@@ -611,6 +659,18 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--weight-decay", type=float, default=0.01)
+    p.add_argument("--warmup-epochs", type=int, default=None,
+                   help="linear-warmup epochs before the cosine decay "
+                        "(default: TrainingConfig.warmup_epochs=2). The "
+                        "reference DECLARES warmup_epochs=2 but never "
+                        "implements warmup (reference: utils/config.py:190 "
+                        "vs training/train.py:139-143) — pass 0 to "
+                        "reproduce the reference's actual cosine-only "
+                        "schedule exactly")
+    p.add_argument("--min-lr", type=float, default=None,
+                   help="cosine floor eta_min (default: "
+                        "TrainingConfig.min_lr=1e-6; reference: "
+                        "training/train.py:139-143)")
     p.add_argument("--patience", type=int, default=10)
     p.add_argument("--num-workers", type=int, default=0,
                    help="threads decoding/augmenting samples per batch "
@@ -707,6 +767,11 @@ def main(argv=None):
     # (data.pipeline assembles the global array from the local shards)
     per_process_bs = distributed.local_batch_size(args.batch_size)
 
+    sched_overrides = {}
+    if args.warmup_epochs is not None:
+        sched_overrides["warmup_epochs"] = args.warmup_epochs
+    if args.min_lr is not None:
+        sched_overrides["min_lr"] = args.min_lr
     tcfg = TrainingConfig(
         num_samples=args.subset_size,
         batch_size=per_process_bs,
@@ -718,6 +783,7 @@ def main(argv=None):
         label_smoothing=args.label_smoothing,
         use_bf16=not args.no_bf16,
         seed=args.seed,
+        **sched_overrides,
     )
     if per_process_bs % tcfg.grad_accum:
         raise SystemExit(

@@ -75,3 +75,81 @@ def test_model_learns_from_synthetic_data():
     # chance is ~1/11 ≈ 0.09; majority-guessing plateaus well under 0.3
     assert best_val > 0.3, f"model failed to learn (best val_top1={best_val})"
     assert logger.history["train_loss"][-1] < logger.history["train_loss"][0]
+
+
+def test_spatial_variant_questions_and_vocab():
+    """spatial=True mixes grid-localized questions whose answers require
+    localization; answer vocab covers shapes too; default variant unchanged."""
+    from vqa_tpu.data.synthetic import (
+        POSITIONS, SPATIAL_ANSWERS, SyntheticVQADataset,
+    )
+
+    ds = SyntheticVQADataset(
+        num_samples=64, image_size=64, max_question_length=12, spatial=True,
+        is_training=False,
+    )
+    assert ds.type_vocab() == sorted(
+        ["how many", "is there", "what color",
+         "what color where", "what shape where"]
+    )
+    assert ds.answer_vocab.num_answers == len(SPATIAL_ANSWERS)
+    qtypes = set()
+    for i in range(64):
+        s = ds[i]
+        qtypes.add(s["question_type"])
+        q = ds.tokenizer.decode(s["token_ids"])
+        if s["question_type"].endswith("where"):
+            assert any(p in q for p in POSITIONS), q
+    # both spatial families actually appear in 64 draws
+    assert "what color where" in qtypes and "what shape where" in qtypes
+    # the non-spatial stream is untouched (same scenes/questions as before)
+    base = SyntheticVQADataset(
+        num_samples=4, image_size=64, max_question_length=12,
+        is_training=False,
+    )
+    assert base.type_vocab() == ["how many", "is there", "what color"]
+    for i in range(4):
+        assert base[i]["question_type"] in base.type_vocab()
+
+
+def test_corpus_generator_round_trips_through_real_data_path(tmp_path):
+    """make_vqa_corpus writes the exact VQA-v2/COCO on-disk layout; the
+    real-data VQADataset path consumes it, and the annotator answers carry
+    realistic disagreement for the soft accuracy."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from make_vqa_corpus import make_corpus
+
+    meta = make_corpus(
+        str(tmp_path), num_images=10, questions_per_image=3,
+        image_size=96, annotator_noise=0.2, quality=70,
+    )
+    assert meta["num_questions"] >= 20
+    from vqa_tpu.data.dataset import BatchLoader, VQADataset
+
+    ds = VQADataset(
+        str(tmp_path / "questions.json"),
+        str(tmp_path / "annotations.json"),
+        str(tmp_path / "images"),
+        num_answers=16, max_question_length=12, vocab_size=60,
+        is_training=False, image_size=64,
+    )
+    assert len(ds) >= 20
+    batch = next(iter(BatchLoader(ds, 8, drop_last=False)))
+    assert batch["annotator_answers"].shape == (8, 10)
+    # disagreement exists but the majority agrees with the target
+    agree = (batch["annotator_answers"] == batch["answer"][:, None]).sum(1)
+    assert agree.min() >= 5
+    assert (batch["annotator_answers"] >= 0).mean() > 0.5
+    # determinism: same seed → identical questions file
+    import filecmp
+
+    out2 = tmp_path / "again"
+    make_corpus(
+        str(out2), num_images=10, questions_per_image=3,
+        image_size=96, annotator_noise=0.2, quality=70,
+    )
+    assert filecmp.cmp(
+        tmp_path / "questions.json", out2 / "questions.json", shallow=False
+    )

@@ -39,10 +39,15 @@ COLORS = {
 }
 SHAPES = ("circle", "square", "triangle")
 ANSWERS = list(COLORS) + ["1", "2", "3", "yes", "no"]
+# 2x2 grid cell → position name (cells: 0 top-left, 1 top-right,
+# 2 bottom-left, 3 bottom-right — see _draw_scene's cx/cy layout)
+POSITIONS = ("top left", "top right", "bottom left", "bottom right")
+SPATIAL_ANSWERS = ANSWERS + list(SHAPES)
 
 
-def _draw_scene(rng: np.random.Generator, size: int) -> Tuple[Image.Image, List[Tuple[str, str]]]:
-    """Render 1-3 non-overlapping shapes; returns (image, [(shape, color)])."""
+def _draw_scene(rng: np.random.Generator, size: int) -> Tuple[Image.Image, List[Tuple[str, str, int]]]:
+    """Render 1-3 non-overlapping shapes; returns
+    (image, [(shape, color, cell)]) with cell indexing the 2x2 grid."""
     bg = 235 + rng.integers(-8, 8, size=3)
     img = Image.new("RGB", (size, size), tuple(int(v) for v in bg))
     draw = ImageDraw.Draw(img)
@@ -65,7 +70,7 @@ def _draw_scene(rng: np.random.Generator, size: int) -> Tuple[Image.Image, List[
             draw.polygon(
                 [(cx, cy - r), (cx - r, cy + r), (cx + r, cy + r)], fill=color
             )
-        placed.append((shape, color_name))
+        placed.append((shape, color_name, int(cell)))
     return img, placed
 
 
@@ -73,13 +78,26 @@ def _make_qa(rng: np.random.Generator, placed) -> Tuple[str, str, str]:
     """(question, answer, question_type)."""
     kind = int(rng.integers(0, 3))
     if kind == 0:
-        shape, color = placed[int(rng.integers(0, len(placed)))]
+        shape, color, _ = placed[int(rng.integers(0, len(placed)))]
         return f"what color is the {shape}", color, "what color"
     if kind == 1:
         return "how many shapes are there", str(len(placed)), "how many"
     shape = str(rng.choice(SHAPES))
-    present = any(s == shape for s, _ in placed)
+    present = any(s == shape for s, _, _ in placed)
     return f"is there a {shape}", "yes" if present else "no", "is there"
+
+
+def _make_spatial_qa(rng: np.random.Generator, placed) -> Tuple[str, str, str]:
+    """Spatially-grounded (question, answer, question_type): answering
+    requires LOCALIZING a shape in the 2x2 grid, which global average
+    pooling cannot do when several differently-colored shapes are present
+    — the question family that gives the spatial-attention ablation
+    (reference: README.md:349-353, blank table) a real signal."""
+    shape, color, cell = placed[int(rng.integers(0, len(placed)))]
+    pos = POSITIONS[cell]
+    if int(rng.integers(0, 2)):
+        return f"what color is the shape in the {pos}", color, "what color where"
+    return f"what shape is in the {pos}", shape, "what shape where"
 
 
 class SyntheticVQADataset:
@@ -95,18 +113,24 @@ class SyntheticVQADataset:
         tokenizer: Optional[Tokenizer] = None,
         answer_vocab: Optional[AnswerVocabulary] = None,
         seed: int = 42,
+        spatial: bool = False,
     ):
         self.num_samples = num_samples
         self.image_size = image_size
         self.is_training = is_training
         self.device_augment = device_augment
         self.seed = seed
+        # spatial=True mixes in grid-localized questions ("what color is
+        # the shape in the top left") — the variant where the spatial-
+        # attention ablation has a measurable signal
+        self.spatial = spatial
         self._aug_rng = np.random.default_rng(seed + 1)
         self._rng_lock = threading.Lock()
 
+        answers = SPATIAL_ANSWERS if spatial else ANSWERS
         if answer_vocab is None:
-            answer_vocab = AnswerVocabulary(num_answers=len(ANSWERS))
-            answer_vocab.build_from_qa_pairs([{"answer": a} for a in ANSWERS])
+            answer_vocab = AnswerVocabulary(num_answers=len(answers))
+            answer_vocab.build_from_qa_pairs([{"answer": a} for a in answers])
         self.answer_vocab = answer_vocab
         if tokenizer is None:
             all_questions = (
@@ -114,6 +138,10 @@ class SyntheticVQADataset:
                 + ["how many shapes are there"]
                 + [f"is there a {s}" for s in SHAPES]
             )
+            if spatial:
+                all_questions += [
+                    f"what color is the shape in the {p}" for p in POSITIONS
+                ] + [f"what shape is in the {p}" for p in POSITIONS]
             tokenizer = create_tokenizer_from_questions(
                 all_questions * 2, max_length=max_question_length,
                 vocab_size=100, min_freq=1,
@@ -124,8 +152,11 @@ class SyntheticVQADataset:
         return self.num_samples
 
     def type_vocab(self):
-        """The three question templates of _make_qa (sorted)."""
-        return ["how many", "is there", "what color"]
+        """Question templates of _make_qa (+_make_spatial_qa), sorted."""
+        base = ["how many", "is there", "what color"]
+        if self.spatial:
+            base += ["what color where", "what shape where"]
+        return sorted(base)
 
     def __getitem__(self, idx: int) -> dict:
         rng = np.random.default_rng(self.seed * 1_000_003 + idx)
@@ -142,7 +173,10 @@ class SyntheticVQADataset:
         else:
             img, placed = _draw_scene(rng, self.image_size)
             image = normalize_image(np.asarray(img, np.uint8))
-        question, answer, qtype = _make_qa(rng, placed)
+        if self.spatial and int(rng.integers(0, 2)):
+            question, answer, qtype = _make_spatial_qa(rng, placed)
+        else:
+            question, answer, qtype = _make_qa(rng, placed)
         ids, mask = self.tokenizer.encode(question)
         ann = np.full(10, self.answer_vocab.encode(answer), np.int32)
         return {
@@ -165,6 +199,7 @@ def create_synthetic_loaders(
     device_augment: bool = False,
     seed: int = 42,
     num_workers: int = 0,
+    spatial: bool = False,
 ):
     """(train_loader, val_loader, tokenizer, answer_vocab) over disjoint
     deterministic sample ranges (val never sees a training scene)."""
@@ -173,11 +208,13 @@ def create_synthetic_loaders(
     base = SyntheticVQADataset(
         num_samples, image_size, max_question_length,
         is_training=True, device_augment=device_augment, seed=seed,
+        spatial=spatial,
     )
     val_ds = SyntheticVQADataset(
         num_samples, image_size, max_question_length,
         is_training=False,
         tokenizer=base.tokenizer, answer_vocab=base.answer_vocab, seed=seed,
+        spatial=spatial,
     )
     n_train = int(num_samples * train_split)
     train = BatchLoader(

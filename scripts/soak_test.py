@@ -1,0 +1,319 @@
+"""Serving soak test: 10k+ mixed requests against the full-size engine.
+
+Hits the production stack (stdlib ThreadingHTTPServer → MicroBatcher →
+bucket-padded jitted forward) with a hostile request mix over keep-alive
+connections:
+
+- valid JPEG/PNG uploads at varied resolutions (64..1024 px)
+- corrupt image bytes            → success:false (500) per the API contract
+- oversized Content-Length       → 413 without buffering the body
+- empty / too-short questions    → 400
+- /predict-batch multi-image     → success:true, one answer per image
+- /metrics + /health probes interleaved
+
+Asserts at the end: every request got a response (zero stuck waiters — the
+batcher queue is empty and all client threads joined), error classes match
+expectations, and RSS stayed stable. Records per-window p50/p99 so latency
+drift over the run is visible. Writes docs/SOAK.json.
+
+Usage: python scripts/soak_test.py [--requests 10000] [--clients 16] [--tiny]
+"""
+
+from __future__ import annotations
+
+import argparse
+import http.client
+import io
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+from PIL import Image
+
+from vqa_tpu.serving.engine import VQAInference
+from vqa_tpu.serving.server import VQAServer
+from vqa_tpu.utils.cache import enable_compilation_cache
+from vqa_tpu.utils.config import InferenceConfig
+
+
+def _rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+def _image_bytes(seed: int, size: int, fmt: str = "JPEG") -> bytes:
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, fmt)
+    return buf.getvalue()
+
+
+def _multipart(fields: dict) -> tuple:
+    """fields: name → (filename|None, bytes). Returns (body, content_type)."""
+    boundary = "XSOAKX"
+    parts = []
+    for name, (filename, data) in fields.items():
+        head = f'--{boundary}\r\nContent-Disposition: form-data; name="{name}"'
+        if filename:
+            head += f'; filename="{filename}"\r\nContent-Type: image/jpeg'
+        parts.append(head.encode() + b"\r\n\r\n" + data + b"\r\n")
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+    return body, f"multipart/form-data; boundary={boundary}"
+
+
+class Client(threading.Thread):
+    """One keep-alive connection issuing a deterministic mixed workload."""
+
+    def __init__(self, cid, host, port, n, images, results, lock):
+        super().__init__()
+        self.cid, self.host, self.port, self.n = cid, host, port, n
+        self.images = images
+        self.results = results  # shared dict of counters/lat lists
+        self.lock = lock
+        self.conn = None
+
+    def _request(self, method, path, body=None, headers=None):
+        for attempt in (0, 1):  # one reconnect on a dropped keep-alive
+            try:
+                if self.conn is None:
+                    self.conn = http.client.HTTPConnection(
+                        self.host, self.port, timeout=120
+                    )
+                self.conn.request(method, path, body=body,
+                                  headers=headers or {})
+                r = self.conn.getresponse()
+                data = r.read()  # must drain to reuse the connection
+                if r.will_close:
+                    self.conn.close()
+                    self.conn = None
+                return r.status, data
+            except Exception:
+                if self.conn is not None:
+                    self.conn.close()
+                self.conn = None
+                if attempt:
+                    raise
+        raise RuntimeError("unreachable")
+
+    def run(self):
+        rng = np.random.default_rng(1000 + self.cid)
+        questions = [
+            "what color is the object", "how many shapes are there",
+            "is there a circle", "what shape is in the top left",
+        ]
+        for i in range(self.n):
+            kind = rng.random()
+            t0 = time.perf_counter()
+            cls = outcome = None
+            try:
+                if kind < 0.70:  # valid /predict, varied image sizes
+                    img = self.images[int(rng.integers(len(self.images)))]
+                    body, ct = _multipart({
+                        "question": (None, questions[i % 4].encode()),
+                        "image": ("x.jpg", img),
+                    })
+                    s, data = self._request(
+                        "POST", "/predict", body, {"Content-Type": ct}
+                    )
+                    ok = s == 200 and json.loads(data).get("success")
+                    cls, outcome = "predict", "ok" if ok else f"bad:{s}"
+                elif kind < 0.78:  # corrupt upload → success:false payload
+                    # (the reference's contract: errors come back as
+                    # success:false, not a 5xx — reference: api/main.py:211-221)
+                    body, ct = _multipart({
+                        "question": (None, b"what is this"),
+                        "image": ("x.jpg", bytes(rng.integers(
+                            0, 256, size=512, dtype=np.uint8))),
+                    })
+                    s, data = self._request(
+                        "POST", "/predict", body, {"Content-Type": ct}
+                    )
+                    good = not json.loads(data).get("success", True)
+                    cls, outcome = "corrupt", "ok" if good else f"bad:{s}"
+                elif kind < 0.84:  # oversized body → 413 up-front
+                    s, _ = self._request(
+                        "POST", "/predict", b"x" * 1024, {
+                            "Content-Type": "multipart/form-data; boundary=B",
+                            "Content-Length": str(300 * 1024 * 1024),
+                        },
+                    )
+                    cls, outcome = "oversize", "ok" if s == 413 else f"bad:{s}"
+                elif kind < 0.90:  # invalid question → 400
+                    body, ct = _multipart({
+                        "question": (None, b"x"),
+                        "image": ("x.jpg", self.images[0]),
+                    })
+                    s, _ = self._request(
+                        "POST", "/predict", body, {"Content-Type": ct}
+                    )
+                    cls, outcome = "badq", "ok" if s == 400 else f"bad:{s}"
+                elif kind < 0.96:  # /predict-batch with 3 images
+                    imgs = [self.images[int(rng.integers(len(self.images)))]
+                            for _ in range(3)]
+                    fields = {
+                        "questions": (None, ",".join(questions[:3]).encode()),
+                    }
+                    body_parts, boundary = [], "XSOAKX"
+                    for name, (fn, data) in fields.items():
+                        body_parts.append(
+                            f'--{boundary}\r\nContent-Disposition: form-data; '
+                            f'name="{name}"\r\n\r\n'.encode() + data + b"\r\n"
+                        )
+                    for img in imgs:
+                        body_parts.append(
+                            f'--{boundary}\r\nContent-Disposition: form-data; '
+                            f'name="images"; filename="x.jpg"\r\n'
+                            f"Content-Type: image/jpeg\r\n\r\n".encode()
+                            + img + b"\r\n"
+                        )
+                    body = b"".join(body_parts) + f"--{boundary}--\r\n".encode()
+                    s, data = self._request(
+                        "POST", "/predict-batch", body,
+                        {"Content-Type":
+                         f"multipart/form-data; boundary={boundary}"},
+                    )
+                    resp = json.loads(data)
+                    ok = s == 200 and resp.get("success") and len(
+                        resp.get("predictions", [])) == 3
+                    cls, outcome = "batch", "ok" if ok else f"bad:{s}"
+                else:  # observability probes
+                    s, _ = self._request(
+                        "GET", "/metrics" if i % 2 else "/health"
+                    )
+                    cls, outcome = "probe", "ok" if s == 200 else f"bad:{s}"
+            except Exception as e:
+                cls = cls or "predict"
+                outcome = f"exc:{type(e).__name__}"
+            dt = (time.perf_counter() - t0) * 1000
+            with self.lock:
+                self.results["count"][cls] = (
+                    self.results["count"].get(cls, 0) + 1
+                )
+                if outcome != "ok":
+                    self.results["bad"].setdefault(
+                        f"{cls}:{outcome}", 0
+                    )
+                    self.results["bad"][f"{cls}:{outcome}"] += 1
+                if cls == "predict" and outcome == "ok":
+                    self.results["lat"].append((time.perf_counter(), dt))
+        if self.conn is not None:
+            self.conn.close()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--requests", type=int, default=10000)
+    p.add_argument("--clients", type=int, default=16)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--out", default="docs/SOAK.json")
+    from vqa_tpu.utils.platform import add_platform_args, apply_platform_args
+
+    add_platform_args(p)
+    args = p.parse_args()
+    apply_platform_args(args)
+
+    enable_compilation_cache()
+    from vqa_tpu.utils.config import tiny_model_config
+
+    engine = VQAInference(
+        checkpoint_dir="checkpoints",
+        model_config=tiny_model_config() if args.tiny else None,
+    )
+    server = VQAServer(engine=engine, preload=True,
+                       config=InferenceConfig())
+    t = threading.Thread(target=server.serve, args=("127.0.0.1", 0),
+                         daemon=True)
+    t.start()
+    while server._httpd is None:
+        time.sleep(0.05)
+    port = server._httpd.server_address[1]
+
+    # varied-resolution uploads (decode+resize cost varies ~250x)
+    images = (
+        [_image_bytes(i, s) for i, s in enumerate((64, 128, 224, 512, 1024))]
+        + [_image_bytes(99, 224, "PNG")]
+    )
+    results = {"count": {}, "bad": {}, "lat": []}
+    lock = threading.Lock()
+    per_client = args.requests // args.clients
+    rss0 = _rss_mb()
+    clients = [
+        Client(c, "127.0.0.1", port, per_client, images, results, lock)
+        for c in range(args.clients)
+    ]
+    t0 = time.perf_counter()
+    for c in clients:
+        c.start()
+    rss_max = rss0
+    while any(c.is_alive() for c in clients):
+        time.sleep(2)
+        rss_max = max(rss_max, _rss_mb())
+    for c in clients:
+        c.join()
+    wall = time.perf_counter() - t0
+    rss1 = _rss_mb()
+
+    # zero stuck waiters: the batcher queue drained and every request was
+    # accounted for in the counters
+    total_seen = sum(results["count"].values())
+    stuck = server.batcher._q.qsize()
+    lat = sorted(results["lat"])  # by completion time
+    windows = []
+    if lat:
+        k = 5
+        per = max(len(lat) // k, 1)
+        for w in range(0, len(lat), per):
+            chunk = np.asarray([d for _, d in lat[w:w + per]])
+            if len(chunk):
+                windows.append({
+                    "n": int(chunk.size),
+                    "p50_ms": round(float(np.percentile(chunk, 50)), 2),
+                    "p99_ms": round(float(np.percentile(chunk, 99)), 2),
+                })
+    arr = np.asarray([d for _, d in lat]) if lat else np.zeros(1)
+    out = {
+        "metric": "serving_soak",
+        "requests_total": total_seen,
+        "expected_total": per_client * args.clients,
+        "wall_s": round(wall, 1),
+        "throughput_rps": round(total_seen / wall, 1),
+        "mix_counts": results["count"],
+        "contract_violations": results["bad"],
+        "predict_p50_ms": round(float(np.percentile(arr, 50)), 2),
+        "predict_p99_ms": round(float(np.percentile(arr, 99)), 2),
+        "latency_drift_windows": windows,
+        "stuck_waiters": stuck,
+        "rss_start_mb": round(rss0, 1),
+        "rss_end_mb": round(rss1, 1),
+        "rss_max_mb": round(rss_max, 1),
+        "server_metrics": server.batcher.latency_stats(),
+        "model": "tiny" if args.tiny else "full-size",
+        "backend": __import__("jax").default_backend(),
+    }
+    ok = (
+        total_seen == per_client * args.clients
+        and stuck == 0
+        and not results["bad"]
+        and rss1 < rss0 * 1.5 + 512
+    )
+    out["passed"] = bool(ok)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    server.shutdown()
+    sys.stdout.flush()
+    os._exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

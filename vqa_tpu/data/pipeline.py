@@ -45,14 +45,27 @@ def prefetch_to_device(
     iterable: Iterable[dict],
     size: int = 2,
     sharding=None,
+    transfer_in_consumer: bool = True,
 ) -> Iterator[dict]:
-    """Double-buffered iterator: host prepares + transfers batch N+1 while
-    the device computes on batch N.
+    """Double-buffered iterator: host prepares batch N+1 while the device
+    computes on batch N.
+
+    ``transfer_in_consumer=True`` (default): the producer thread only
+    assembles numpy batches (decode/augment — the slow part) and the
+    ``jax.device_put`` happens on the CONSUMER thread right before yield.
+    All device interaction then stays on one thread — required on the
+    tunneled axon TPU backend, where a producer-thread device_put racing
+    the consumer's result fetches intermittently wedges the device stream
+    mid-epoch (observed as a training hang after ~50-70 steps). The
+    transfer itself is ~10 ms/batch, negligible next to the decode work
+    that still overlaps.
 
     Args:
         iterable: yields dicts of numpy arrays (plus scalar metadata).
         size: prefetch depth (2 = classic double buffering).
         sharding: optional jax.sharding.Sharding for batch arrays.
+        transfer_in_consumer: False restores producer-thread transfers
+            (useful where a second thread's transfers are known-safe).
     """
     q: "queue.Queue" = queue.Queue(maxsize=size)
     err: list = []
@@ -60,7 +73,9 @@ def prefetch_to_device(
     def producer():
         try:
             for batch in iterable:
-                q.put(_device_put_batch(batch, sharding))
+                if not transfer_in_consumer:
+                    batch = _device_put_batch(batch, sharding)
+                q.put(batch)
         except Exception as e:  # propagate into consumer
             err.append(e)
         finally:
@@ -74,6 +89,8 @@ def prefetch_to_device(
             if err:
                 raise err[0]
             return
+        if transfer_in_consumer:
+            item = _device_put_batch(item, sharding)
         yield item
 
 

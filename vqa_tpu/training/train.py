@@ -409,6 +409,18 @@ class Trainer:
             else:
                 m = dispatch()
             device_metrics.append(m)
+            # bound the dispatch pipeline: without a periodic sync the host
+            # dispatches the WHOLE epoch asynchronously (the loop never
+            # fetches), queueing hundreds of MB of batch transfers in
+            # flight — on the tunneled TPU backend that reliably wedges the
+            # stream past ~50 in-flight steps. Fetch the HOST VALUE of the
+            # loss from `depth` steps ago: a true device round-trip (on
+            # this backend block_until_ready returns without fencing), so
+            # at most `depth` steps (~depth×12.5 MB of batches) are ever in
+            # flight while the device still overlaps `depth` steps deep.
+            depth = 4
+            if len(device_metrics) >= depth:
+                float(device_metrics[-depth]["loss"])
             n += bs
             step_no += 1
         # single host sync at epoch end

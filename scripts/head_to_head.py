@@ -264,7 +264,9 @@ def main(argv=None):
 
     # --- assemble report ---------------------------------------------------
     def ref_series(name):
-        return [v for _, v in ref_hist.get(name, [])]
+        # reference Trainer.train() returns {"history": {name: [[epoch,
+        # value], ...]}, "current_epoch": N} (its MetricsLogger.to_dict)
+        return [v for _, v in ref_hist.get("history", ref_hist).get(name, [])]
 
     def our_series(name):
         return list(ours_hist["history"].get(name, []))

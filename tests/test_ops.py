@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vqa_tpu.ops import (
     fused_cross_attention,
@@ -53,4 +54,45 @@ def test_fused_cross_attention_in_model_path():
     pall = CrossAttention(embed_dim=16, num_heads=4, use_pallas=True)
     out_p, w_p = pall.apply(v, q, kv)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_stem_weight_packing_and_phase_planes():
+    """Fast checks of the fused-stem prep: tap-packed weights match direct
+    indexing, and the polyphase planes reconstruct the padded input."""
+    from vqa_tpu.ops.stem_kernel import _phase_planes, pack_stem_weights
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(7, 7, 3, 64)).astype(np.float32))
+    wk = pack_stem_weights(w)
+    assert wk.shape == (7, 32, 64)
+    for kh, kw, c in [(0, 0, 0), (3, 4, 1), (6, 6, 2)]:
+        np.testing.assert_array_equal(np.asarray(wk[kh, kw * 3 + c]),
+                                      np.asarray(w[kh, kw, c]))
+    np.testing.assert_array_equal(np.asarray(wk[:, 21:]), 0.0)
+
+    x = jnp.asarray(rng.normal(size=(1, 224, 224, 3)).astype(np.float32))
+    xp = _phase_planes(x)
+    assert xp.shape == (1, 12, 116, 116)
+    xpad = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    for pr, pc, c in [(0, 0, 0), (1, 0, 2), (1, 1, 1)]:
+        plane = xp[0, pr * 6 + pc * 3 + c, :115, :115]
+        np.testing.assert_array_equal(np.asarray(plane),
+                                      np.asarray(xpad[0, pr::2, pc::2, c]))
+
+
+@pytest.mark.slow
+def test_fused_stem_matches_xla():
+    """Full-geometry interpret-mode parity (minutes on CPU: 14 row blocks
+    x 49 taps through the Pallas interpreter)."""
+    from vqa_tpu.ops import fused_stem, xla_stem
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 224, 224, 3)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(7, 7, 3, 64)) * 0.05).astype(np.float32))
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, 64).astype(np.float32))
+    bias = jnp.asarray((rng.normal(size=64) * 0.1).astype(np.float32))
+    out = fused_stem(x, w, scale, bias, interpret=True)
+    ref = xla_stem(x, w, scale, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)

@@ -114,6 +114,7 @@ def bench_train(args):
     model = create_vqa_model(
         dtype=dtype,
         stem_s2d=args.s2d,
+        stem_fused=args.fused_stem,
         use_pallas_cross_attention=args.pallas,
     )
     variables = init_vqa_model(model, jax.random.PRNGKey(0))
@@ -212,6 +213,8 @@ def main():
     p.add_argument("--grad-accum", type=int, default=1,
                    help="with --train: microbatches per optimizer step")
     p.add_argument("--f32", action="store_true", help="disable bf16 compute")
+    p.add_argument("--fused-stem", action="store_true",
+                   help="fused Pallas stem execution plan (inference only)")
     p.add_argument("--s2d", action="store_true",
                    help="space-to-depth stem execution plan (measured ~4%% "
                         "slower than XLA's native stem handling on this chip)")
@@ -239,6 +242,7 @@ def main():
     model = create_vqa_model(  # full-size flagship
         dtype=dtype,
         stem_s2d=args.s2d,
+        stem_fused=args.fused_stem,
         use_pallas_cross_attention=args.pallas,
     )
     variables = init_vqa_model(model, jax.random.PRNGKey(0))

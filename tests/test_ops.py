@@ -73,7 +73,7 @@ def test_stem_weight_packing_and_phase_planes():
 
     x = jnp.asarray(rng.normal(size=(1, 224, 224, 3)).astype(np.float32))
     xp = _phase_planes(x)
-    assert xp.shape == (1, 12, 116, 116)
+    assert xp.shape == (1, 12, 128, 128)
     xpad = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
     for pr, pc, c in [(0, 0, 0), (1, 0, 2), (1, 1, 1)]:
         plane = xp[0, pr * 6 + pc * 3 + c, :115, :115]
@@ -96,3 +96,23 @@ def test_fused_stem_matches_xla():
     ref = xla_stem(x, w, scale, bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_fused_stem_variable_tree_matches_xla_path():
+    """The fused-stem execution plan must declare an IDENTICAL variable
+    tree (names, shapes, dtypes) so checkpoints and the torch importer are
+    unaffected; verified structurally via eval_shape (no compute)."""
+    from vqa_tpu.models import create_vqa_model
+
+    def shapes(model):
+        cfg = model.config
+        img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+        ids = jnp.zeros((1, cfg.max_question_length), jnp.int32)
+        mask = jnp.ones((1, cfg.max_question_length), jnp.int32)
+        tree = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                              img, ids, mask)
+        return jax.tree.map(lambda x: (x.shape, x.dtype), tree)
+
+    base = shapes(create_vqa_model(stem_fused=False))
+    fused = shapes(create_vqa_model(stem_fused=True))
+    assert base == fused

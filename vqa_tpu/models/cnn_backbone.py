@@ -128,6 +128,45 @@ class StemConv(nn.Module):
         )
 
 
+class _StemConvVars(nn.Module):
+    """Declares the stem conv kernel under the SAME scope/param names as
+    ``StemConv`` (params/stem_conv/kernel) so the fused-stem execution path
+    produces an identical variable tree — checkpoints and the torch
+    importer are unaffected by the execution-plan switch."""
+
+    features: int
+    in_channels: int = 3
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", kaiming_normal_fan_out,
+            (7, 7, self.in_channels, self.features),
+        )
+
+
+class _StemBNVars(nn.Module):
+    """Declares the stem BN variables under the same scope/names as
+    ``nn.BatchNorm`` (params/stem_bn/{scale,bias} +
+    batch_stats/stem_bn/{mean,var}); see ``_StemConvVars``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.features,))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
 class ConvBlock(nn.Module):
     """Conv → BN → ReLU helper (reference: models/cnn_backbone.py:41-98;
     defined but unused in the main path there — kept for API completeness)."""
@@ -230,6 +269,11 @@ class CustomResNet(nn.Module):
     use_spatial: bool = True
     se_reduction: int = 16
     stem_s2d: bool = False
+    # Fused Pallas stem (ops/stem_kernel.py): inference-mode only (BN is
+    # folded to an affine), applies when the stem geometry matches the
+    # kernel (224px input, 3 channels, 64 features); otherwise the call
+    # silently uses the XLA path — both paths declare identical variables.
+    stem_fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _channels(self):
@@ -246,15 +290,31 @@ class CustomResNet(nn.Module):
         c = self._channels()
 
         # Stem: 7×7/2 conv + BN + ReLU + 3×3/2 maxpool
-        x = StemConv(c[0], s2d=self.stem_s2d, dtype=self.dtype,
-                     name="stem_conv")(x)
-        x = _bn("stem_bn", self.dtype, train)(x)
-        x = nn.relu(x)
-        # torch MaxPool2d(3, stride=2, padding=1) pads with -inf semantics;
-        # flax max_pool pads with -inf as well.
-        x = nn.max_pool(
-            x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+        fused_ok = (
+            self.stem_fused and not train
+            and x.shape[1] == 224 and x.shape[2] == 224
+            and x.shape[-1] == 3 and c[0] == 64
         )
+        if fused_ok:
+            from vqa_tpu.ops.stem_kernel import fused_stem
+
+            kernel = _StemConvVars(c[0], self.in_channels,
+                                   name="stem_conv")()
+            scale, bias, mean, var = _StemBNVars(c[0], name="stem_bn")()
+            s = scale / jnp.sqrt(var + BN_EPS)
+            b = bias - mean * s
+            x = fused_stem(x.astype(self.dtype), kernel.astype(self.dtype),
+                           s, b)
+        else:
+            x = StemConv(c[0], s2d=self.stem_s2d, dtype=self.dtype,
+                         name="stem_conv")(x)
+            x = _bn("stem_bn", self.dtype, train)(x)
+            x = nn.relu(x)
+            # torch MaxPool2d(3, stride=2, padding=1) pads with -inf
+            # semantics; flax max_pool pads with -inf as well.
+            x = nn.max_pool(
+                x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+            )
 
         # spatial attention only in stages 3-4 (reference:
         # models/cnn_backbone.py:366,381,394,409)

@@ -63,6 +63,7 @@ class VQAModel(nn.Module):
     config: ModelConfig
     use_pallas_cross_attention: bool = False
     stem_s2d: bool = False
+    stem_fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -85,6 +86,7 @@ class VQAModel(nn.Module):
             use_spatial=cfg.use_spatial_attention,
             se_reduction=cfg.se_reduction,
             stem_s2d=self.stem_s2d,
+            stem_fused=self.stem_fused,
             dtype=self.dtype,
             name="image_encoder",
         )(images, train)
@@ -149,6 +151,7 @@ def create_vqa_model(
     dtype: jnp.dtype = jnp.float32,
     use_pallas_cross_attention: Optional[bool] = None,
     stem_s2d: bool = False,
+    stem_fused: Optional[bool] = None,
     **overrides,
 ) -> VQAModel:
     """Factory mirroring the reference's (models/vqa_model.py:383-407).
@@ -160,10 +163,13 @@ def create_vqa_model(
     """
     import dataclasses
 
-    if use_pallas_cross_attention is None:
+    if use_pallas_cross_attention is None or stem_fused is None:
         from vqa_tpu.utils.config import KERNELS
 
-        use_pallas_cross_attention = KERNELS.use_pallas_cross_attention
+        if use_pallas_cross_attention is None:
+            use_pallas_cross_attention = KERNELS.use_pallas_cross_attention
+        if stem_fused is None:
+            stem_fused = KERNELS.use_fused_stem
 
     cfg = config or ModelConfig()
     if overrides:
@@ -180,7 +186,7 @@ def create_vqa_model(
         )
     return VQAModel(config=cfg, dtype=dtype,
                     use_pallas_cross_attention=use_pallas_cross_attention,
-                    stem_s2d=stem_s2d)
+                    stem_s2d=stem_s2d, stem_fused=stem_fused)
 
 
 def init_vqa_model(

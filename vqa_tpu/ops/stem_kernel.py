@@ -14,10 +14,11 @@ Design notes (why it looks the way it does):
     padded input (12 planes of [115,115]: even/odd rows x even/odd cols
     x channel), which turns every stride-2 kernel tap into a
     *unit-stride* window of one plane — no strided lane/sublane reads.
-  * Per (8-conv-row block, kernel row kh) it im2col-packs the 21 taps
-    (7 kw x 3 c) into a [32, 8, 128] VMEM scratch and contracts with a
+  * Per (16-conv-row block, kernel row kh) it im2col-packs the 21 taps
+    (7 kw x 3 c) into a [32, 16, 128] VMEM scratch and contracts with a
     repacked [32, 64] weight slice on the MXU (reduction 21->32,
-    zero-padded), accumulating [8, 128, 64] in f32.
+    zero-padded), accumulating [16, 128, 64] in f32. Block size 16 keeps
+    every dynamic sublane offset tile-aligned for bf16 (16,128) tiling.
   * BN is folded to a per-channel affine (inference mode: scale =
     gamma/sqrt(var+eps), bias = beta - mean*scale), applied with ReLU
     before the conv block is stored — so the kernel serves the
@@ -28,8 +29,10 @@ Design notes (why it looks the way it does):
     safe for the pool edge because post-ReLU activations are >= 0.
 
 Exposed as a library op behind KernelConfig (default off); numerics
-validated against the XLA path in tests/test_ops.py; on-chip timing in
-scripts/exp_stem_kernel.py with the accept/reject record in docs/PERF.md.
+validated against the XLA path in tests/test_ops.py (interpret) and on
+hardware (f32 max diff 3.6e-7). MEASURED AND REJECTED as the default
+execution plan: 71.5 vs 11.6 us/pair for the XLA stem at b=1024 bf16 —
+see "Execution plans measured and rejected" in docs/PERF.md.
 """
 
 from __future__ import annotations
@@ -48,9 +51,14 @@ _PAD = 3           # conv padding
 _CONV = 112        # conv output H = W
 _OUT = 56          # pool output H = W
 _COUT = 64
-_PLANE = 116       # phase-plane H = W, padded ((224+6)/2 = 115 -> 116)
+_PLANE = 128       # phase-plane H = W: (224+6)/2 = 115 valid rows/cols,
+                   # zero-padded to 128 so the kernel's aligned 32-row
+                   # window loads (rb*16 .. rb*16+31) stay in bounds
 _TAPS = 21         # 7 kw x 3 c, padded to 32 for the MXU
-_RB = 8            # conv rows per block
+_RB = 16           # conv rows per block: every dynamic sublane offset in
+                   # the kernel is a multiple of 16, which Mosaic requires
+                   # for bf16 (16,128) tiling (8-row blocks compiled for
+                   # f32 but were rejected for bf16)
 _NRB = _CONV // _RB
 
 
@@ -60,9 +68,15 @@ def _interpret_default() -> bool:
 
 def _stem_kernel(xp_ref, wk_ref, scale_ref, bias_ref, out_ref,
                  conv_ref, m_ref):
-    """One image: xp [1,12,116,116] phase planes, wk [7,32,64],
+    """One image: xp [1,12,128,128] phase planes, wk [7,32,64],
     scale/bias [8,64] (broadcast rows), out [1,56,56,64];
-    scratch: conv [112,128,64] f32, m [32,8,128] im2col."""
+    scratch: conv [112,128,64], m [32,16,128] im2col.
+
+    Every dynamic sublane offset here is a multiple of 16 and every
+    sub-tile selection is a reshape + STATIC index or a static slice of a
+    register value — Mosaic's bf16 (16,128) tiling rejects anything less
+    (found by compiling on hardware; interpret mode accepts anything).
+    """
     # zero the im2col scratch once: tap rows >= 21 and lanes >= 112 stay
     # zero across all iterations (every iteration rewrites [:21, :, :112])
     m_ref[...] = jnp.zeros(m_ref.shape, m_ref.dtype)
@@ -75,11 +89,12 @@ def _stem_kernel(xp_ref, wk_ref, scale_ref, bias_ref, out_ref,
                 pc, dc = kw % 2, kw // 2
                 for c in range(3):
                     plane = pr * 6 + pc * 3 + c
-                    rows = pl.dslice(rb * _RB + dr, _RB)
-                    m_ref[kw * 3 + c, :, 0:_CONV] = (
-                        xp_ref[0, plane, rows, dc:dc + _CONV]
-                    )
-            # [32,8,128] x [32,64] -> [8,128,64], contracting the tap dim
+                    # aligned 32-row window + static in-register shift:
+                    # rows rb*16+dr .. rb*16+dr+15 of the plane
+                    rows32 = xp_ref[0, plane, pl.dslice(rb * _RB, 32),
+                                    dc:dc + _CONV]
+                    m_ref[kw * 3 + c, :, 0:_CONV] = rows32[dr:dr + _RB]
+            # [32,16,128] x [32,64] -> [16,128,64], contracting the tap dim
             acc = acc + jax.lax.dot_general(
                 m_ref[...], wk_ref[kh],
                 dimension_numbers=(((0,), (0,)), ((), ())),
@@ -92,19 +107,32 @@ def _stem_kernel(xp_ref, wk_ref, scale_ref, bias_ref, out_ref,
 
     jax.lax.fori_loop(0, _NRB, row_block, 0)
 
-    # maxpool 3x3/2 pad 1 over conv_ref [112(row), 128(col; 112 valid), 64]
-    cb = conv_ref[...]
-    zrow = jnp.zeros((1,) + cb.shape[1:], cb.dtype)
-    r_odd_sh = jnp.concatenate([zrow, cb[1:_CONV:2][:-1]], axis=0)
-    rows_max = jnp.maximum(jnp.maximum(cb[0:_CONV:2], cb[1:_CONV:2]),
-                           r_odd_sh)                       # [56,128,64]
-    zcol = jnp.zeros((rows_max.shape[0], 1, rows_max.shape[2]),
-                     rows_max.dtype)
-    c_even = rows_max[:, 0:_CONV:2]                        # [56,56,64]
-    c_odd = rows_max[:, 1:_CONV:2]
-    c_odd_sh = jnp.concatenate([zcol, c_odd[:, :-1]], axis=1)
-    out_ref[0] = jnp.maximum(jnp.maximum(c_even, c_odd),
-                             c_odd_sh).astype(out_ref.dtype)
+    # maxpool 3x3/2 pad 1 over conv_ref [112(row), 128(col; 112 valid), 64],
+    # in chunks of 8 pool rows (16 conv rows): whole-array ops over the
+    # buffer would materialize ~25 MB of temporaries on the VMEM stack,
+    # past the 16 MB scoped-vmem limit. The window row 2k-1 that crosses
+    # the chunk boundary rides the fori_loop carry (an unaligned
+    # single-row re-read of conv_ref would break the tiling rule above).
+    def pool_block(pb, prev_odd):
+        # pool rows pb*8 .. pb*8+7 <- conv rows pb*16-1 .. pb*16+15
+        cb = conv_ref[pl.dslice(pb * 16, 16)]              # [16,128,64]
+        cbr = cb.reshape(8, 2, 128, _COUT)
+        r_even, r_odd = cbr[:, 0], cbr[:, 1]               # conv rows 2k/2k+1
+        r_odd_sh = jnp.concatenate([prev_odd, r_odd[:-1]], axis=0)
+        rows_max = jnp.maximum(jnp.maximum(r_even, r_odd),
+                               r_odd_sh)                   # [8,128,64]
+        rm = rows_max.reshape(8, 64, 2, _COUT)
+        c_even = rm[:, :_OUT, 0]                           # [8,56,64]
+        c_odd = rm[:, :_OUT, 1]
+        zcol = jnp.zeros((c_odd.shape[0], 1, c_odd.shape[2]), c_odd.dtype)
+        c_odd_sh = jnp.concatenate([zcol, c_odd[:, :-1]], axis=1)
+        out_ref[0, pl.dslice(pb * 8, 8)] = jnp.maximum(
+            jnp.maximum(c_even, c_odd), c_odd_sh
+        ).astype(out_ref.dtype)
+        return r_odd[-1:]  # conv row pb*16+15, window row 2k-1 next chunk
+
+    jax.lax.fori_loop(0, _OUT // 8, pool_block,
+                      jnp.zeros((1, 128, _COUT), conv_ref.dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -133,7 +161,7 @@ def _fused_stem_planes(xp, wk, scale, bias, interpret):
 
 
 def _phase_planes(x: jnp.ndarray) -> jnp.ndarray:
-    """[B,224,224,3] -> [B,12,116,116] polyphase planes (XLA-side prep;
+    """[B,224,224,3] -> [B,12,128,128] polyphase planes (XLA-side prep;
     fuses with the preceding normalize)."""
     xpad = jnp.pad(x, ((0, 0), (_PAD, _PAD), (_PAD, _PAD), (0, 0)))
     planes = [

@@ -209,6 +209,11 @@ class KernelConfig:
     """
 
     use_pallas_cross_attention: bool = False
+    # Fused Pallas stem (ops/stem_kernel.py): inference-only execution plan
+    # (conv+BN-affine+ReLU+maxpool in one VMEM pass); identical variable
+    # tree either way. Defaults off pending the on-chip measurement
+    # (bench.py --fused-stem; record in docs/PERF.md).
+    use_fused_stem: bool = False
 
 
 PATHS = PathConfig()

@@ -57,14 +57,28 @@ def main():
         optax.adamw(cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2,
                     weight_decay=cfg.weight_decay, mu_dtype=jnp.bfloat16),
     )
+    # flat variant: optax.flatten ravels grads/state into ONE buffer so the
+    # clip+AdamW update is a handful of big fused kernels instead of ~7
+    # passes over each of the ~160 small param tensors (per-tensor kernel
+    # overhead is the suspected gap vs the ~3 µs/pair update floor).
+    tx_flat = optax.flatten(optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.adamw(cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2,
+                    weight_decay=cfg.weight_decay),
+    ))
 
+    # NOTE: every timed program returns a SCALAR that the timing loop
+    # float()s. Over the axon tunnel, jax.block_until_ready() returns as
+    # soon as the execution is enqueued, not when it completes (measured:
+    # a b=256 forward "finished" in 0.12 ms, 100x faster than the device
+    # could run it) — only a device→host fetch actually synchronizes.
     @jax.jit
     def fwd_eval(params, batch_stats, images, ids, mask):
         logits, _ = model.apply(
             {"params": params, "batch_stats": batch_stats},
             images, ids, mask, train=False,
         )
-        return logits
+        return jnp.sum(logits)
 
     @jax.jit
     def fwd_train(params, batch_stats, images, ids, mask, labels, rng):
@@ -121,7 +135,11 @@ def main():
                         s, r = fn(s, *a)
                     else:
                         r = fn(*a)
-                jax.block_until_ready(r)
+                # float() of a scalar output is the only reliable sync
+                # over the tunnel (see NOTE above); program outputs only
+                # materialize when the whole executable finishes, so
+                # fetching the loss also waits for bwd/update.
+                _ = float(r[0] if isinstance(r, tuple) else r)
                 dt = time.perf_counter() - t0
                 best = min(best, dt / args.chain)
             return best
@@ -147,7 +165,8 @@ def main():
             grads_only, variables["params"], variables["batch_stats"],
             imgs, ids, mask, labels, key)
 
-        for name, t in (("full", tx), ("mu_bf16", tx_mu16)):
+        for name, t in (("full", tx), ("mu_bf16", tx_mu16),
+                        ("flat", tx_flat)):
             step = train_step if name == "full" else make_train_step(model)
             st = fresh_state(t)
             st, m = step(st, imgs, ids, mask, labels, key)  # compile
@@ -167,6 +186,7 @@ def main():
             **{k: round(v * 1e3, 3) for k, v in res.items()},
             "pairs_per_sec_full": round(b / res["full"], 1),
             "pairs_per_sec_mu_bf16": round(b / res["mu_bf16"], 1),
+            "pairs_per_sec_flat": round(b / res["flat"], 1),
             "derived_us_per_pair": {
                 "fwd_eval": round(res["fwd_eval"] / b * 1e6, 2),
                 "bn_train_extra": round(

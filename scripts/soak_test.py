@@ -214,6 +214,9 @@ def main():
     p.add_argument("--requests", type=int, default=10000)
     p.add_argument("--clients", type=int, default=16)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="checkpoint dir for the full-size engine "
+                        "(default: checkpoints/real_run if present)")
     p.add_argument("--out", default="docs/SOAK.json")
     from vqa_tpu.utils.platform import add_platform_args, apply_platform_args
 
@@ -224,8 +227,15 @@ def main():
     enable_compilation_cache()
     from vqa_tpu.utils.config import tiny_model_config
 
+    ckpt_dir = args.checkpoint_dir
+    if ckpt_dir is None:
+        ckpt_dir = (
+            "checkpoints/real_run"
+            if os.path.isdir("checkpoints/real_run")
+            else "checkpoints"
+        )
     engine = VQAInference(
-        checkpoint_dir="checkpoints",
+        checkpoint_dir=ckpt_dir,
         model_config=tiny_model_config() if args.tiny else None,
     )
     server = VQAServer(engine=engine, preload=True,

@@ -29,6 +29,7 @@ from typing import Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from vqa_tpu.models.attention_modules import (
     AttentionWrapper,
@@ -324,6 +325,12 @@ class CustomResNet(nn.Module):
             (c[1], c[2], 2, self.use_spatial),
             (c[2], c[3], 2, self.use_spatial),
         ]
+        # checkpoint_name is an identity outside of jax.checkpoint; under a
+        # save_only_these_names policy it marks stage boundaries as the
+        # residuals to keep, so the backward can rematerialize the stage
+        # interiors instead of round-tripping them through HBM
+        # (scripts/exp_bwd_remat.py measures whether that trade wins).
+        x = checkpoint_name(x, "resnet_stem")
         for i, (cin, cout, stride, spatial) in enumerate(stage_specs, start=1):
             x = ResidualStage(
                 cin,
@@ -336,6 +343,7 @@ class CustomResNet(nn.Module):
                 dtype=self.dtype,
                 name=f"stage{i}",
             )(x, train)
+            x = checkpoint_name(x, f"resnet_stage{i}")
         return x
 
 

@@ -693,3 +693,85 @@ def test_evaluator_sample_predictions_single_pass():
         [s["top5_indices"][0] == s["target"] for s in samples]
     )
     assert top1 == pytest.approx(results["top1_accuracy"], abs=1e-6)
+
+
+def test_remat_matches_plain_step():
+    """remat='stages'/'full' (jax.checkpoint over the loss) must reproduce
+    the plain GRADIENTS: remat changes WHAT is saved for the backward, not
+    the math. (Post-AdamW params are not compared — near-zero grad elements
+    update at ~lr·sign(g), amplifying last-bit recompute differences.)
+    Exercises the checkpoint_name tags in models/cnn_backbone.py."""
+    import optax
+
+    kw = dict(TINY, dropout=0.0, answer_dropout=0.0)
+    model = create_vqa_model(**kw)
+    variables = init_vqa_model(model, jax.random.PRNGKey(0), batch_size=4)
+    cfg = TrainingConfig(learning_rate=1e-3, warmup_epochs=0, num_epochs=1)
+    tx, _ = make_optimizer(cfg, steps_per_epoch=10)
+
+    def fresh_state():
+        return TrainState.create(
+            apply_fn=model.apply,
+            params=jax.tree_util.tree_map(jnp.copy, variables["params"]),
+            tx=tx,
+            batch_stats=jax.tree_util.tree_map(
+                jnp.copy, variables["batch_stats"]
+            ),
+        )
+
+    rng = np.random.default_rng(11)
+    images = jnp.asarray(rng.normal(size=(4, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(4, 50, size=(4, 6)), jnp.int32)
+    mask = jnp.ones((4, 6), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, 8, size=(4,)), jnp.int32)
+    key = jax.random.PRNGKey(3)
+
+    def loss_of(params):
+        (logits, _), _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            images, ids, mask, train=True, mutable=["batch_stats"],
+            rngs={"dropout": key},
+        )
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels).mean()
+
+    cp = jax.checkpoint_policies
+    l0, g0 = jax.jit(jax.value_and_grad(loss_of))(variables["params"])
+    for policy in (cp.nothing_saveable, cp.save_only_these_names(
+            "resnet_stem", "resnet_stage1", "resnet_stage2",
+            "resnet_stage3", "resnet_stage4")):
+        fn = jax.checkpoint(loss_of, policy=policy)
+        l1, g1 = jax.jit(jax.value_and_grad(fn))(variables["params"])
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            # recompute reorders f32 accumulations, so individual elements
+            # drift ~1e-5 regardless of their own magnitude — compare
+            # against each leaf's grad SCALE, not elementwise
+            a, b = np.asarray(a), np.asarray(b)
+            scale = float(np.abs(a).max())
+            assert float(np.abs(a - b).max()) <= max(1e-4 * scale, 1e-6)
+
+    # the shipped step under remat: runs, finite loss, same top-1 counts
+    s0, m0 = make_train_step(model)(
+        fresh_state(), images, ids, mask, labels, key)
+    for mode, accum in (("stages", 1), ("full", 1), ("stages", 2)):
+        s1, m1 = make_train_step(model, grad_accum=accum, remat=mode)(
+            fresh_state(), images, ids, mask, labels, key)
+        assert np.isfinite(float(m1["loss"]))
+        if accum == 1:
+            np.testing.assert_allclose(
+                float(m1["loss"]), float(m0["loss"]), rtol=1e-6)
+            assert int(m1["correct1"]) == int(m0["correct1"])
+
+    with pytest.raises(ValueError, match="remat"):
+        make_train_step(model, remat="bogus")(
+            fresh_state(), images, ids, mask, labels, key)
+
+
+def test_remat_cli_flag_threads_to_config():
+    from vqa_tpu.training.train import parse_args
+
+    args = parse_args(["--remat", "stages", "--demo", "--tiny"])
+    assert args.remat == "stages"
+    assert parse_args(["--demo", "--tiny"]).remat == "none"

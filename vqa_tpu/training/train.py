@@ -73,7 +73,8 @@ def make_optimizer(
     return tx, schedule
 
 
-def make_train_step(model, grad_accum: int = 1, label_smoothing: float = 0.0):
+def make_train_step(model, grad_accum: int = 1, label_smoothing: float = 0.0,
+                    remat: str = "none"):
     """Build the jitted train step: forward+CE+backward+update+BN-EMA in one
     XLA program. Metrics (loss, top1/top5 counts) stay on device.
 
@@ -85,7 +86,15 @@ def make_train_step(model, grad_accum: int = 1, label_smoothing: float = 0.0):
     microbatch with its own statistics (train-mode semantics) and chains the
     EMA update through the scan carry, which matches running the microbatches
     as separate steps stats-wise. ``label_smoothing`` > 0 smooths the CE
-    targets uniformly over the answer classes."""
+    targets uniformly over the answer classes.
+
+    ``remat`` rematerializes activations in the backward instead of saving
+    them (``jax.checkpoint``): "full" saves nothing (max memory saving,
+    recomputes the whole forward), "stages" keeps only the CNN stem/stage
+    boundary activations (``checkpoint_name`` tags in models/cnn_backbone.py)
+    and recomputes stage interiors. Both are memory levers for activation-
+    bound configs; on-chip speed measurements are in docs/PERF.md
+    (scripts/exp_bwd_remat.py)."""
 
     def _ce(logits, labels):
         if label_smoothing:
@@ -95,6 +104,21 @@ def make_train_step(model, grad_accum: int = 1, label_smoothing: float = 0.0):
             )
             return optax.softmax_cross_entropy(logits, targets)
         return optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+
+    def _maybe_remat(loss_fn):
+        if remat == "none":
+            return loss_fn
+        cp = jax.checkpoint_policies
+        if remat == "full":
+            policy = cp.nothing_saveable
+        elif remat == "stages":
+            policy = cp.save_only_these_names(
+                "resnet_stem", "resnet_stage1", "resnet_stage2",
+                "resnet_stage3", "resnet_stage4")
+        else:
+            raise ValueError(
+                f"remat={remat!r}: expected 'none', 'full' or 'stages'")
+        return jax.checkpoint(loss_fn, policy=policy)
 
     if grad_accum == 1:
 
@@ -116,7 +140,7 @@ def make_train_step(model, grad_accum: int = 1, label_smoothing: float = 0.0):
                 return loss, (logits, mutated["batch_stats"])
 
             (loss, (logits, new_stats)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
+                _maybe_remat(loss_fn), has_aux=True
             )(state.params)
             new_state = state.apply_gradients(grads=grads)
             new_state = new_state.replace(batch_stats=new_stats)
@@ -164,7 +188,7 @@ def make_train_step(model, grad_accum: int = 1, label_smoothing: float = 0.0):
             stats, grad_sum, loss_sum, c1, c5, i = carry
             mb = xs
             (loss, (logits, stats)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
+                _maybe_remat(loss_fn), has_aux=True
             )(state.params, stats, mb, jax.random.fold_in(step_rng, i))
             grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
             f1, f5 = topk_correct(logits, mb[3], k=5)
@@ -328,6 +352,7 @@ class Trainer:
             model,
             grad_accum=self.cfg.grad_accum,
             label_smoothing=self.cfg.label_smoothing,
+            remat=self.cfg.remat,
         )
         # per-question-type val accuracy when the val loader carries a type
         # vocabulary (integer type_ids reduce on device — multi-host safe)
@@ -698,6 +723,13 @@ def parse_args(argv=None):
                         "one XLA program): ~N× lower activation memory for "
                         "large-batch runs; gradients averaged across "
                         "microbatches")
+    p.add_argument("--remat", choices=("none", "full", "stages"),
+                   default="none",
+                   help="activation rematerialization in the backward "
+                        "(jax.checkpoint): 'stages' keeps only CNN "
+                        "stage-boundary activations, 'full' recomputes the "
+                        "whole forward — memory levers for activation-bound "
+                        "configs (speed on-chip: docs/PERF.md)")
     p.add_argument("--resume", default=None)
     p.add_argument("--demo", action="store_true", help="random demo data")
     p.add_argument("--synthetic", action="store_true",
@@ -792,6 +824,7 @@ def main(argv=None):
         num_epochs=args.epochs,
         early_stop_patience=args.patience,
         grad_accum=args.grad_accum,
+        remat=args.remat,
         label_smoothing=args.label_smoothing,
         use_bf16=not args.no_bf16,
         seed=args.seed,

@@ -144,6 +144,11 @@ class TrainingConfig:
     # its EMA update through the scan. TPU-native addition (no reference
     # equivalent — the reference has no accumulation).
     grad_accum: int = 1
+    # activation rematerialization in the backward ("none" | "full" |
+    # "stages"): a jax.checkpoint memory lever for activation-bound configs
+    # — "stages" keeps only CNN stage-boundary activations and recomputes
+    # the interiors. TPU-native addition; speed measured in docs/PERF.md.
+    remat: str = "none"
     grad_clip_norm: float = 1.0
     early_stop_patience: int = 10
     checkpoint_every: int = 5

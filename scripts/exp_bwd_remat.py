@@ -115,12 +115,12 @@ def main():
 
     data = (imgs, ids, mask, labels)
     out = {"b": b}
-    base_loss = None
+    # anchor numerics to the TRUE no-remat baseline regardless of which
+    # --variants run (otherwise the first variant trivially "matches")
+    base_loss = float(make_fn(POLICIES["base"])(params, *data))
     for name in args.variants.split(","):
         fn = make_fn(POLICIES[name])
         loss = float(fn(params, *data))  # compile + numerics check
-        if base_loss is None:
-            base_loss = loss
         t = time_it(fn, params, *data)
         out[name] = {
             "grads_ms": round(t * 1e3, 3),

@@ -124,7 +124,9 @@ def main():
             )
 
         def time_it(fn, *a, follow=None):
-            """median-of-reps of a chain of calls; follow threads state."""
+            """best-of-reps of a chain of calls (min filters host/tunnel
+            noise; all recorded numbers are best-case and say so);
+            follow threads state."""
             best = float("inf")
             s = follow
             for _ in range(args.reps):

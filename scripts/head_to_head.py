@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -235,17 +236,29 @@ def main(argv=None):
             saved = json.load(f)
         ref_hist, ref_wall = saved["history"], saved["wall"]
         n_train, n_val = saved["n_train"], saved["n_val"]
-        ref_ckpt_dir = saved["ckpt_dir"]
+        # legacy state JSONs recorded only a (possibly tmp-cleaned)
+        # ckpt_dir; prefer the durably-copied best_pth when present
+        ref_best_pth = saved.get("best_pth") or os.path.join(
+            saved["ckpt_dir"], "best_model.pth")
+        if not os.path.exists(ref_best_pth):
+            raise SystemExit(
+                f"--skip-reference: saved checkpoint {ref_best_pth} no "
+                "longer exists (tempdir cleaned?); re-run without the flag")
     else:
         ref_hist, ref_wall, n_train, n_val = run_reference(
             args.corpus, args.subset, args.epochs, args.batch_size,
             args.lr, args.weight_decay, args.seed,
             tok_path, vocab_path, args.max_question_length, ref_ckpt_dir,
         )
+        # persist the best checkpoint NEXT TO the state JSON — the tempdir
+        # path would not survive /tmp cleanup, breaking --skip-reference
+        kept = os.path.join(args.out, "head_to_head_ref_best.pth")
+        shutil.copyfile(os.path.join(ref_ckpt_dir, "best_model.pth"), kept)
+        ref_best_pth = kept
         with open(ref_state, "w") as f:
             json.dump({"history": ref_hist, "wall": ref_wall,
                        "n_train": n_train, "n_val": n_val,
-                       "ckpt_dir": ref_ckpt_dir}, f)
+                       "best_pth": kept}, f)
     print(f"[h2h] reference done in {ref_wall:.0f}s")
 
     ours_hist, ours_wall = run_ours(
@@ -257,7 +270,7 @@ def main(argv=None):
     print(f"[h2h] ours done in {ours_wall:.0f}s")
 
     imported = import_and_eval_reference_ckpt(
-        os.path.join(ref_ckpt_dir, "best_model.pth"),
+        ref_best_pth,
         args.corpus, args.subset, args.batch_size,
         tokenizer, vocab, args.max_question_length, args.seed, tmp,
     )

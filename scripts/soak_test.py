@@ -57,11 +57,15 @@ def _image_bytes(seed: int, size: int, fmt: str = "JPEG") -> bytes:
     return buf.getvalue()
 
 
-def _multipart(fields: dict) -> tuple:
-    """fields: name → (filename|None, bytes). Returns (body, content_type)."""
+def _multipart(fields) -> tuple:
+    """fields: dict name → (filename|None, bytes), or a list of
+    (name, filename|None, bytes) tuples (repeated names allowed — e.g.
+    several 'images' parts). Returns (body, content_type)."""
+    if isinstance(fields, dict):
+        fields = [(n, fn, data) for n, (fn, data) in fields.items()]
     boundary = "XSOAKX"
     parts = []
-    for name, (filename, data) in fields.items():
+    for name, filename, data in fields:
         head = f'--{boundary}\r\nContent-Disposition: form-data; name="{name}"'
         if filename:
             head += f'; filename="{filename}"\r\nContent-Type: image/jpeg'
@@ -159,27 +163,14 @@ class Client(threading.Thread):
                 elif kind < 0.96:  # /predict-batch with 3 images
                     imgs = [self.images[int(rng.integers(len(self.images)))]
                             for _ in range(3)]
-                    fields = {
-                        "questions": (None, ",".join(questions[:3]).encode()),
-                    }
-                    body_parts, boundary = [], "XSOAKX"
-                    for name, (fn, data) in fields.items():
-                        body_parts.append(
-                            f'--{boundary}\r\nContent-Disposition: form-data; '
-                            f'name="{name}"\r\n\r\n'.encode() + data + b"\r\n"
-                        )
-                    for img in imgs:
-                        body_parts.append(
-                            f'--{boundary}\r\nContent-Disposition: form-data; '
-                            f'name="images"; filename="x.jpg"\r\n'
-                            f"Content-Type: image/jpeg\r\n\r\n".encode()
-                            + img + b"\r\n"
-                        )
-                    body = b"".join(body_parts) + f"--{boundary}--\r\n".encode()
+                    body, ct = _multipart(
+                        [("questions", None,
+                          ",".join(questions[:3]).encode())]
+                        + [("images", "x.jpg", img) for img in imgs]
+                    )
                     s, data = self._request(
                         "POST", "/predict-batch", body,
-                        {"Content-Type":
-                         f"multipart/form-data; boundary={boundary}"},
+                        {"Content-Type": ct},
                     )
                     resp = json.loads(data)
                     ok = s == 200 and resp.get("success") and len(

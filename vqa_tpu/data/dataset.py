@@ -326,9 +326,15 @@ class BatchLoader:
                 "question_types": [s.get("question_type", "unknown") for s in samples],
             }
             if self._type2id is not None:
+                # types not in the construction-time vocab map to the
+                # sentinel len(vocab) — an explicit overflow bucket the
+                # metric scatter allocates and then drops, instead of
+                # silently crediting them to type 0
                 batch["type_ids"] = np.asarray(
                     [
-                        self._type2id.get(s.get("question_type"), 0)
+                        self._type2id.get(
+                            s.get("question_type"), len(self._type2id)
+                        )
                         for s in samples
                     ],
                     np.int32,

@@ -71,17 +71,29 @@ def create_app(checkpoint_dir: Optional[str] = None):
     def _cap_bytes() -> int:
         return server.cfg.max_body_mb * 1024 * 1024
 
-    def _check_content_length(request: "Request"):
-        # reject on the declared Content-Length BEFORE consuming the body,
-        # like the stdlib server — the cap is a memory backstop, so it must
-        # fire before the upload is buffered, not after
+    @app.middleware("http")
+    async def _content_length_cap(request: "Request", call_next):
+        # reject on the declared Content-Length BEFORE the body is consumed,
+        # like the stdlib server — FastAPI resolves File()/Form() deps by
+        # parsing the ENTIRE multipart body before an endpoint function
+        # runs, so this check must live in middleware (which runs first),
+        # not in the endpoint. The cap is a memory backstop; firing it
+        # after buffering would defeat it.
         cl = request.headers.get("content-length")
         if cl is not None:
             try:
                 if int(cl) > _cap_bytes():
-                    _too_large()
+                    return JSONResponse(
+                        {
+                            "success": False,
+                            "error": "request body exceeds "
+                                     f"{server.cfg.max_body_mb} MB",
+                        },
+                        status_code=413,
+                    )
             except ValueError:
-                pass  # malformed header; fall through to post-read checks
+                pass  # malformed header; post-read _cap still applies
+        return await call_next(request)
 
     def _cap(data: bytes, already: int = 0):
         # post-read backstop for chunked bodies (no Content-Length);
@@ -97,7 +109,6 @@ def create_app(checkpoint_dir: Optional[str] = None):
         question: str = Form(...),
         top_k: int = Form(5),
     ):
-        _check_content_length(request)
         data = _cap(await image.read())
         fields = {
             "image": [(image.filename, data)],
@@ -113,7 +124,6 @@ def create_app(checkpoint_dir: Optional[str] = None):
         question: str = Form(...),
         top_k: int = Form(5),
     ):
-        _check_content_length(request)
         data = _cap(await image.read())
         fields = {
             "image": [(image.filename, data)],
@@ -128,7 +138,6 @@ def create_app(checkpoint_dir: Optional[str] = None):
         images: List[UploadFile] = File(...),
         questions: str = Form(...),
     ):
-        _check_content_length(request)
         blobs = []
         total = 0
         for im in images:

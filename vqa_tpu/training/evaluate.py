@@ -67,6 +67,9 @@ class Evaluator:
         # the loader (VERDICT r2 weak #4: the CLI path used to run eval twice)
         self._sample_cache: Optional[Dict[str, np.ndarray]] = None
         self._sample_cache_complete = False
+        # identity of the loader evaluate() filled the cache from: the
+        # cache must never answer sample_predictions for a DIFFERENT loader
+        self._sample_cache_loader: Optional[BatchLoader] = None
 
     def evaluate(
         self,
@@ -140,6 +143,7 @@ class Evaluator:
             # complete = the cache holds EVERY evaluated sample, so it can
             # satisfy sample_predictions requests larger than its length
             self._sample_cache_complete = cached == n
+            self._sample_cache_loader = loader
 
         preds_all = np.concatenate(preds) if preds else np.zeros(0, np.int32)
         targets_all = np.concatenate(targets) if targets else np.zeros(0, np.int32)
@@ -230,13 +234,14 @@ class Evaluator:
         """Decoded sample top-5 predictions
         (reference: training/evaluate.py:195-244).
 
-        Single-pass: when ``evaluate()`` already ran, its cached first-N
-        logits are decoded directly — zero extra forwards (the reference,
-        and round 2 of this rebuild, re-ran the whole forward pass here).
-        Falls back to running forwards only if evaluate() was never called
-        (or needs more samples than the cache holds)."""
+        Single-pass: when ``evaluate()`` already ran on THIS loader, its
+        cached first-N logits are decoded directly — zero extra forwards
+        (the reference, and round 2 of this rebuild, re-ran the whole
+        forward pass here). Falls back to running forwards if evaluate()
+        was never called, ran on a different loader, or cached fewer
+        samples than requested."""
         cache = self._sample_cache
-        if cache is not None and (
+        if cache is not None and loader is self._sample_cache_loader and (
             len(cache["logits"]) >= num or self._sample_cache_complete
         ):
             return self._decode_samples(
@@ -383,8 +388,12 @@ def main(argv=None):
         syn_spec = (load_checkpoint_meta(args.checkpoint_dir, name) or {}).get(
             "synthetic"
         )
+        spatial = False
         if syn_spec:
             num_samples, seed = int(syn_spec["num_samples"]), int(syn_spec["seed"])
+            # spatial variant changes questions AND the answer vocab —
+            # sidecars older than the flag default to the plain mix
+            spatial = bool(syn_spec.get("spatial", False))
         else:
             num_samples, seed = max(args.max_samples, 64), 42
             print(
@@ -398,6 +407,7 @@ def main(argv=None):
             image_size=cfg.image_size,
             max_question_length=cfg.max_question_length,
             seed=seed,
+            spatial=spatial,
         )
         # --max-samples still caps WORK: truncate the (exactly rebuilt)
         # val index range rather than silently evaluating the full split —

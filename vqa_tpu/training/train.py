@@ -251,11 +251,16 @@ def make_val_step(model, num_types: int = 0):
             "n": jnp.sum(w),
         }
         if num_types and type_ids is not None:
+            # num_types + 1 rows: the last is the loader's explicit
+            # unknown-type overflow bucket, sliced off so stray types
+            # never corrupt a real type's counts
             out["type_correct"] = (
-                jnp.zeros(num_types, jnp.float32).at[type_ids].add(flags1 * w)
+                jnp.zeros(num_types + 1, jnp.float32)
+                .at[type_ids].add(flags1 * w)[:num_types]
             )
             out["type_total"] = (
-                jnp.zeros(num_types, jnp.float32).at[type_ids].add(w)
+                jnp.zeros(num_types + 1, jnp.float32)
+                .at[type_ids].add(w)[:num_types]
             )
         return out
 
@@ -735,6 +740,12 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", action="store_true",
                    help="learnable colored-shapes data (data/synthetic.py) "
                         "— real convergence without downloading VQA-v2")
+    p.add_argument("--spatial", action="store_true",
+                   help="with --synthetic: mix in grid-localized questions "
+                        "('what color is the shape in the top left') — the "
+                        "variant where spatial attention matters (recorded "
+                        "in the checkpoint sidecar so evaluate --synthetic "
+                        "rebuilds the same split)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model + data for smoke runs")
     p.add_argument("--no-bf16", action="store_true")
@@ -856,7 +867,11 @@ def main(argv=None):
         # persisted so `evaluate --synthetic` reconstructs the EXACT val
         # split — scenes are deterministic per (seed, index), and a split
         # rebuilt with different num_samples would overlap the train range
-        run_meta["synthetic"] = {"num_samples": syn_samples, "seed": tcfg.seed}
+        run_meta["synthetic"] = {
+            "num_samples": syn_samples,
+            "seed": tcfg.seed,
+            "spatial": bool(args.spatial),
+        }
         train_loader, val_loader, tokenizer, answer_vocab = (
             create_synthetic_loaders(
                 num_samples=syn_samples,
@@ -867,6 +882,7 @@ def main(argv=None):
                 device_augment=args.device_aug,
                 seed=tcfg.seed,
                 num_workers=args.num_workers,
+                spatial=args.spatial,
             )
         )
         mcfg = dataclasses.replace(

@@ -775,3 +775,87 @@ def test_remat_cli_flag_threads_to_config():
     args = parse_args(["--remat", "stages", "--demo", "--tiny"])
     assert args.remat == "stages"
     assert parse_args(["--demo", "--tiny"]).remat == "none"
+
+
+def test_unknown_question_type_goes_to_overflow_bucket():
+    """A sample whose question_type is NOT in the loader's construction-time
+    type vocab must map to the sentinel id len(vocab), and the val_step
+    scatter must DROP it (num_types+1 rows, last sliced off) instead of
+    silently crediting the alphabetically-first type."""
+    from vqa_tpu.data.dataset import BatchLoader, DemoVQADataset
+    from vqa_tpu.training.train import make_val_step
+
+    class StrayTypeDataset(DemoVQADataset):
+        # sample 0 reports a type the type_vocab() snapshot doesn't contain
+        def __getitem__(self, idx):
+            s = super().__getitem__(idx)
+            if idx == 0:
+                s["question_type"] = "never-seen"
+            return s
+
+    ds = StrayTypeDataset(
+        num_samples=4, image_size=TINY["image_size"],
+        max_question_length=6, vocab_size=TINY["vocab_size"],
+        num_answers=TINY["num_answers"],
+    )
+    loader = BatchLoader(ds, batch_size=4, shuffle=False, drop_last=False)
+    batch = next(iter(loader))
+    n_types = len(loader.type_vocab)
+    assert batch["type_ids"][0] == n_types          # sentinel
+    assert set(batch["type_ids"][1:]) <= set(range(n_types))
+
+    model = create_vqa_model(**TINY)
+    variables = init_vqa_model(model, jax.random.PRNGKey(0), batch_size=4)
+    val_step = make_val_step(model, num_types=n_types)
+    out = val_step(
+        variables["params"], variables["batch_stats"],
+        jnp.asarray(batch["image"]), jnp.asarray(batch["token_ids"]),
+        jnp.asarray(batch["attention_mask"]), jnp.asarray(batch["answer"]),
+        jnp.asarray(batch["valid_mask"]), jnp.asarray(batch["type_ids"]),
+    )
+    assert out["type_total"].shape == (n_types,)
+    # the unknown-type row was dropped: per-type totals cover 3 samples,
+    # the overall count all 4
+    assert float(jnp.sum(out["type_total"])) == 3.0
+    assert float(out["n"]) == 4.0
+
+
+def test_sample_predictions_cache_is_loader_keyed(tmp_path):
+    """sample_predictions must NOT serve cached samples from a different
+    loader than the one passed in (the cache is evaluate()-coupled)."""
+    from vqa_tpu.data import AnswerVocabulary
+    from vqa_tpu.training.evaluate import Evaluator
+
+    train_loader, val_loader = create_demo_loaders(
+        batch_size=4, eval_batch_size=4, num_samples=16,
+        image_size=TINY["image_size"], max_question_length=6,
+        vocab_size=TINY["vocab_size"], num_answers=TINY["num_answers"],
+    )
+    model = create_vqa_model(**TINY)
+    variables = init_vqa_model(model, jax.random.PRNGKey(0), batch_size=4)
+    vocab = AnswerVocabulary(num_answers=TINY["num_answers"])
+    vocab.build_from_qa_pairs([{"answer": "yes"}])
+    ev = Evaluator(model, variables, vocab)
+    ev.evaluate(val_loader)
+    assert ev._sample_cache is not None
+    # same loader: served from cache (no recompute) — spy via cache id
+    s_val = ev.sample_predictions(val_loader, None, num=4)
+    assert len(s_val) == 4
+    # different loader (deterministic order): must fall back to running
+    # forwards on THAT loader, not serve the val cache
+    from vqa_tpu.data.dataset import BatchLoader, DemoVQADataset
+
+    other = BatchLoader(
+        DemoVQADataset(
+            num_samples=8, image_size=TINY["image_size"],
+            max_question_length=6, vocab_size=TINY["vocab_size"],
+            num_answers=TINY["num_answers"], seed=123,
+        ),
+        batch_size=4, shuffle=False, drop_last=False,
+    )
+    s_other = ev.sample_predictions(other, None, num=4)
+    assert len(s_other) == 4
+    # targets must come from the other loader's first batch, not the cache
+    first = next(iter(other))
+    expect = [int(a) for a in first["answer"][:4]]
+    assert [s["target"] for s in s_other] == expect

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 
 import numpy as np
 
@@ -39,6 +38,10 @@ def main():
     p.add_argument("--tiny", action="store_true",
                    help="tiny model (CPU sanity check of the method only)")
     args = p.parse_args()
+    known = ("base", "full", "stages", "dots")
+    bad = [v for v in args.variants.split(",") if v not in known]
+    if bad:  # fail BEFORE the expensive full-model init/compile
+        p.error(f"unknown --variants {bad}; choose from {known}")
 
     import jax
     import jax.numpy as jnp
@@ -103,15 +106,10 @@ def main():
                               for x in jax.tree.leaves(g))
         return grads
 
+    from vqa_tpu.utils.profiling import time_chained
+
     def time_it(fn, *a):
-        best = float("inf")
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            for _ in range(args.chain):
-                r = fn(*a)
-            _ = float(r)  # device->host fetch = the only real sync
-            best = min(best, (time.perf_counter() - t0) / args.chain)
-        return best
+        return time_chained(fn, *a, reps=args.reps, chain=args.chain)
 
     data = (imgs, ids, mask, labels)
     out = {"b": b}

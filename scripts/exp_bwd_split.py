@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 
 import numpy as np
 
@@ -98,15 +97,10 @@ def main():
 
     fwd_only = jax.jit(loss_of)
 
+    from vqa_tpu.utils.profiling import time_chained
+
     def time_it(fn, *a):
-        best = float("inf")
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            for _ in range(args.chain):
-                r = fn(*a)
-            _ = float(r)  # device→host fetch = the only real sync
-            best = min(best, (time.perf_counter() - t0) / args.chain)
-        return best
+        return time_chained(fn, *a, reps=args.reps, chain=args.chain)
 
     data = (imgs, ids, mask, labels)
     _ = float(fwd_only(params, *data))  # compile

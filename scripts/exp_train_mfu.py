@@ -44,6 +44,7 @@ def main():
         make_train_step,
     )
     from vqa_tpu.utils.config import TrainingConfig
+    from vqa_tpu.utils.profiling import time_chained
 
     model = create_vqa_model(dtype=jnp.bfloat16)
     variables = init_vqa_model(model, jax.random.PRNGKey(0))
@@ -123,28 +124,12 @@ def main():
                 batch_stats=jax.tree.map(jnp.copy, variables["batch_stats"]),
             )
 
-        def time_it(fn, *a, follow=None):
-            """best-of-reps of a chain of calls (min filters host/tunnel
-            noise; all recorded numbers are best-case and say so);
-            follow threads state."""
-            best = float("inf")
-            s = follow
-            for _ in range(args.reps):
-                r = None
-                t0 = time.perf_counter()
-                for i in range(args.chain):
-                    if follow is not None:
-                        s, r = fn(s, *a)
-                    else:
-                        r = fn(*a)
-                # float() of a scalar output is the only reliable sync
-                # over the tunnel (see NOTE above); program outputs only
-                # materialize when the whole executable finishes, so
-                # fetching the loss also waits for bwd/update.
-                _ = float(r[0] if isinstance(r, tuple) else r)
-                dt = time.perf_counter() - t0
-                best = min(best, dt / args.chain)
-            return best
+        def time_it(fn, *a):
+            # shared tunnel-safe primitive: float() of a scalar output is
+            # the only reliable sync (see NOTE above); fetching the loss
+            # also waits for bwd/update since outputs only materialize
+            # when the whole executable finishes.
+            return time_chained(fn, *a, reps=args.reps, chain=args.chain)
 
         res = {}
         # compile passes first

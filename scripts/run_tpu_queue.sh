@@ -4,7 +4,7 @@
 # Each step saves raw JSON-lines output under /tmp/tpuq/ for the
 # docs/PERF.md + CHANGELOG write-ups; steps are independent, a failure
 # stops the queue so the state is inspectable.
-set -e
+set -e -o pipefail  # pipefail: a failed/timed-out step must not be masked by tee
 mkdir -p /tmp/tpuq
 cd "$(dirname "$0")/.."
 

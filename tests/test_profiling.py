@@ -18,6 +18,7 @@ from vqa_tpu.utils.profiling import (
     maybe_trace,
     percentile_summary,
     step_annotation,
+    time_chained,
 )
 
 
@@ -59,3 +60,15 @@ def test_profiler_writes_trace(tmp_path):
 def test_maybe_trace_none_is_noop():
     with maybe_trace(None):
         pass
+
+
+def test_time_chained_scalar_and_tuple_outputs():
+    # the shared microbenchmark primitive (scripts/exp_*.py): must sync on
+    # a scalar output, or on the first element of a tuple output
+    f_scalar = jax.jit(lambda x: jnp.sum(x))
+    f_tuple = jax.jit(lambda x: (jnp.sum(x), x * 2))
+    x = jnp.ones((16, 16))
+    _ = f_scalar(x), f_tuple(x)  # compile outside the timed region
+    t1 = time_chained(f_scalar, x, reps=2, chain=3)
+    t2 = time_chained(f_tuple, x, reps=2, chain=3)
+    assert 0 < t1 < 10.0 and 0 < t2 < 10.0

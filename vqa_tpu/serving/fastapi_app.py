@@ -83,11 +83,12 @@ def create_app(checkpoint_dir: Optional[str] = None):
         if cl is not None:
             try:
                 if int(cl) > _cap_bytes():
+                    # same 413 shape as _too_large() and the stdlib
+                    # server (serving/server.py do_POST): {"detail": ...}
                     return JSONResponse(
                         {
-                            "success": False,
-                            "error": "request body exceeds "
-                                     f"{server.cfg.max_body_mb} MB",
+                            "detail": "request body exceeds "
+                                      f"{server.cfg.max_body_mb} MB",
                         },
                         status_code=413,
                     )
@@ -104,7 +105,6 @@ def create_app(checkpoint_dir: Optional[str] = None):
 
     @app.post("/predict")
     async def predict(
-        request: Request,
         image: UploadFile = File(...),
         question: str = Form(...),
         top_k: int = Form(5),
@@ -119,7 +119,6 @@ def create_app(checkpoint_dir: Optional[str] = None):
 
     @app.post("/attention")
     async def attention(
-        request: Request,
         image: UploadFile = File(...),
         question: str = Form(...),
         top_k: int = Form(5),
@@ -134,7 +133,6 @@ def create_app(checkpoint_dir: Optional[str] = None):
 
     @app.post("/predict-batch")
     async def predict_batch(
-        request: Request,
         images: List[UploadFile] = File(...),
         questions: str = Form(...),
     ):

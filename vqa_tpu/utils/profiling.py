@@ -33,7 +33,33 @@ __all__ = [
     "Profiler",
     "StepTimer",
     "percentile_summary",
+    "time_chained",
 ]
+
+
+def time_chained(fn, *args, reps: int = 3, chain: int = 10) -> float:
+    """Best-of-``reps`` seconds per call over ``chain`` back-to-back
+    dispatches, synchronized by one device→host scalar fetch.
+
+    The microbenchmark-methodology primitive shared by the experiment
+    scripts (``scripts/exp_*.py``). Over a tunneled TPU,
+    ``jax.block_until_ready`` can return at enqueue time, so the only
+    reliable fence is fetching a scalar program output with ``float()`` —
+    outputs only materialize once the whole executable finishes. ``fn``
+    must therefore return a scalar (or a tuple whose first element is
+    one). Chaining ``chain`` dispatches before the single fetch amortizes
+    tunnel RTT; best-of-``reps`` filters host noise (recorded numbers are
+    best-case and documented as such).
+    """
+    best = float("inf")
+    for _ in range(reps):
+        r = None
+        t0 = time.perf_counter()
+        for _ in range(chain):
+            r = fn(*args)
+        _ = float(r[0] if isinstance(r, tuple) else r)
+        best = min(best, (time.perf_counter() - t0) / chain)
+    return best
 
 
 def annotate(name: str):

@@ -119,7 +119,8 @@ def bench_train(args):
     )
     variables = init_vqa_model(model, jax.random.PRNGKey(0))
     tx, _ = make_optimizer(TrainingConfig(), steps_per_epoch=100)
-    train_step = make_train_step(model, grad_accum=args.grad_accum)
+    train_step = make_train_step(
+        model, grad_accum=args.grad_accum, remat=args.remat)
 
     if args.aug:
         import functools
@@ -188,6 +189,7 @@ def bench_train(args):
     line = {
         "metric": "train_pairs_per_sec_per_chip",
         **({"grad_accum": args.grad_accum} if args.grad_accum > 1 else {}),
+        **({"remat": args.remat} if args.remat != "none" else {}),
         "value": round(best, 2),
         "unit": "pairs/s",
         "vs_baseline": round(best / baseline, 2),
@@ -212,6 +214,10 @@ def main():
     p.add_argument("--batches", type=int, nargs="+", default=None)
     p.add_argument("--grad-accum", type=int, default=1,
                    help="with --train: microbatches per optimizer step")
+    p.add_argument("--remat", choices=["none", "full", "stages"],
+                   default="none",
+                   help="with --train: jax.checkpoint policy for the "
+                        "backward (matches the train CLI's --remat)")
     p.add_argument("--f32", action="store_true", help="disable bf16 compute")
     p.add_argument("--fused-stem", action="store_true",
                    help="fused Pallas stem execution plan (inference only)")

@@ -7,6 +7,9 @@
 set -e -o pipefail  # pipefail: a failed/timed-out step must not be masked by tee
 mkdir -p /tmp/tpuq
 cd "$(dirname "$0")/.."
+# vqa_tpu is run from the source tree, not pip-installed; scripts executed as
+# `python scripts/x.py` get sys.path[0]=scripts/, so make the repo root importable.
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 echo "== 1/6 bwd split (b=1024)" >&2
 timeout 1200 python scripts/exp_bwd_split.py --batch 1024 \

@@ -129,7 +129,8 @@ def bench_train(args):
 
         augment = jax.jit(functools.partial(device_augment, image_size=224))
 
-    rng = np.random.default_rng(0)
+    from vqa_tpu.utils.profiling import device_synthetic_inputs
+
     results = {}
     flops_by_batch = {}
     best, best_batch = 0.0, 0
@@ -144,17 +145,13 @@ def bench_train(args):
             tx=tx,
             batch_stats=jax.tree.map(jnp.copy, variables["batch_stats"]),
         )
+        # Inputs generated on device: host staging of a 154-616 MB batch
+        # through the axon tunnel (~5-50 MB/s measured) stalls the bench.
         if args.aug:  # uint8 crop sources; augmentation runs on device
-            imgs = jnp.asarray(
-                rng.integers(0, 256, size=(b, 256, 256, 3), dtype=np.uint8)
-            )
+            imgs, ids, mask, labels = device_synthetic_inputs(
+                b, image_size=256, pixels="u8")
         else:
-            imgs = jnp.asarray(
-                rng.normal(size=(b, 224, 224, 3)).astype(np.float32)
-            )
-        ids = jnp.asarray(rng.integers(4, 10000, size=(b, 20)), jnp.int32)
-        mask = jnp.ones((b, 20), jnp.int32)
-        labels = jnp.asarray(rng.integers(0, 1000, size=(b,)), jnp.int32)
+            imgs, ids, mask, labels = device_synthetic_inputs(b)
         key = jax.random.PRNGKey(0)
 
         def one_step(state, i):
@@ -261,7 +258,8 @@ def main():
         )
         return logits
 
-    rng = np.random.default_rng(0)
+    from vqa_tpu.utils.profiling import device_synthetic_inputs
+
     batch_sizes = args.batches or (
         [32, 128] if args.quick else [1, 8, 32, 128, 256, 512, 1024]
     )
@@ -275,15 +273,13 @@ def main():
     best_throughput, best_batch = 0.0, 0
     for b in batch_sizes:
         # rotate distinct input buffers so no layer of the stack can reuse
-        # a previous execution's result
+        # a previous execution's result; generated on device (host staging
+        # of 154 MB batches stalls the axon tunnel)
         inputs = []
-        for _ in range(2):
-            inputs.append((
-                jnp.asarray(rng.integers(0, 256, size=(b, 224, 224, 3),
-                                         dtype=np.uint8)),
-                jnp.asarray(rng.integers(4, 10000, size=(b, 20)), jnp.int32),
-                jnp.ones((b, 20), jnp.int32),
-            ))
+        for seed in range(2):
+            px, ids, mask, _ = device_synthetic_inputs(
+                b, pixels="u8", seed=seed)
+            inputs.append((px, ids, mask))
         for i in range(warmup):
             px, ids, mask = inputs[i % 2]
             jax.block_until_ready(infer(variables, px, ids, mask))

@@ -60,11 +60,13 @@ def main():
         dtype=jnp.bfloat16,
     )
 
+    from vqa_tpu.utils.profiling import device_synthetic_inputs
+
     b = args.batch
-    rng_np = np.random.default_rng(0)
-    imgs = jnp.asarray(
-        rng_np.normal(size=(b, img_size, img_size, 3)).astype(np.float32))
-    variables = model.init(jax.random.PRNGKey(0), imgs[:1], train=True)
+    # Generated on device — a 616 MB host transfer stalls the axon tunnel.
+    imgs, _, _, _ = device_synthetic_inputs(b, image_size=img_size)
+    init_fn = jax.jit(lambda r, x: model.init(r, x, train=True))
+    variables = init_fn(jax.random.PRNGKey(0), imgs[:1])
     params, batch_stats = variables["params"], variables["batch_stats"]
 
     def loss_train(p_, stats, imgs):

@@ -102,17 +102,18 @@ def main():
     def time_it(fn, *a):
         return time_chained(fn, *a, reps=args.reps, chain=args.chain)
 
-    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
     rows = []
     tot = {"fwd_us": 0.0, "bwd_us": 0.0, "fwd_floor": 0.0, "bwd_floor": 0.0}
     for name, h, cin, cout, k, stride, count in SHAPES:
         if args.tiny:
             h = max(h // 4, k)
         ho = (h + 2 * pad_for(k, stride) - k) // stride + 1
-        x = jnp.asarray(rng.normal(size=(b, h, h, cin)), jnp.bfloat16)
-        w = jnp.asarray(rng.normal(size=(k, k, cin, cout)) * 0.05,
-                        jnp.float32)
-        r = jnp.asarray(rng.normal(size=(b, ho, ho, cout)), jnp.bfloat16)
+        # Generated on device — large host transfers stall the axon tunnel.
+        k1, k2, k3, key = jax.random.split(key, 4)
+        x = jax.random.normal(k1, (b, h, h, cin), jnp.bfloat16)
+        w = jax.random.normal(k2, (k, k, cin, cout), jnp.float32) * 0.05
+        r = jax.random.normal(k3, (b, ho, ho, cout), jnp.bfloat16)
         f_fwd, f_bwd = make_fns(k, stride)
         _ = float(f_fwd(x, w)); _ = float(f_bwd(x, w, r))  # compile
         t_f = time_it(f_fwd, x, w)

@@ -53,13 +53,13 @@ def main():
     variables = init_vqa_model(model, jax.random.PRNGKey(0))
     params, batch_stats = variables["params"], variables["batch_stats"]
 
+    from vqa_tpu.utils.profiling import device_synthetic_inputs
+
     b = args.batch
-    rng_np = np.random.default_rng(0)
-    imgs = jnp.asarray(
-        rng_np.normal(size=(b, img_size, img_size, 3)).astype(np.float32))
-    ids = jnp.asarray(rng_np.integers(4, vocab, size=(b, qlen)), jnp.int32)
-    mask = jnp.ones((b, qlen), jnp.int32)
-    labels = jnp.asarray(rng_np.integers(0, n_ans, size=(b,)), jnp.int32)
+    # Generated on device — a 616 MB host transfer stalls the axon tunnel.
+    imgs, ids, mask, labels = device_synthetic_inputs(
+        b, image_size=img_size, qlen=qlen, vocab_size=vocab,
+        num_answers=n_ans)
     key = jax.random.PRNGKey(0)
 
     # NOTE: every device-sized array is an explicit jit ARGUMENT — a

@@ -106,15 +106,13 @@ def main():
         (loss, bs), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
         return loss, g
 
-    rng_np = np.random.default_rng(0)
+    from vqa_tpu.utils.profiling import device_synthetic_inputs
+
     key = jax.random.PRNGKey(0)
     out = {}
     for b in [int(x) for x in args.batches.split(",")]:
-        imgs = jnp.asarray(
-            rng_np.normal(size=(b, 224, 224, 3)).astype(np.float32))
-        ids = jnp.asarray(rng_np.integers(4, 10000, size=(b, 20)), jnp.int32)
-        mask = jnp.ones((b, 20), jnp.int32)
-        labels = jnp.asarray(rng_np.integers(0, 1000, size=(b,)), jnp.int32)
+        # Generated on device — a 616 MB host transfer stalls the tunnel.
+        imgs, ids, mask, labels = device_synthetic_inputs(b)
 
         def fresh_state(t=tx):
             return TrainState.create(

@@ -15,6 +15,7 @@ from vqa_tpu.utils.profiling import (
     Profiler,
     StepTimer,
     annotate,
+    device_synthetic_inputs,
     maybe_trace,
     percentile_summary,
     step_annotation,
@@ -60,6 +61,30 @@ def test_profiler_writes_trace(tmp_path):
 def test_maybe_trace_none_is_noop():
     with maybe_trace(None):
         pass
+
+
+def test_device_synthetic_inputs_shapes_dtypes_and_ranges():
+    # benchmark inputs are generated on device (host staging of a b=1024
+    # image batch stalls the tunneled TPU transport); the contract the
+    # exp_*/bench scripts rely on is shape/dtype/range fidelity
+    imgs, ids, mask, labels = device_synthetic_inputs(
+        3, image_size=32, qlen=6, vocab_size=50, num_answers=9
+    )
+    assert imgs.shape == (3, 32, 32, 3) and imgs.dtype == jnp.float32
+    assert ids.shape == (3, 6) and ids.dtype == jnp.int32
+    assert int(ids.min()) >= 4 and int(ids.max()) < 50  # no special tokens
+    assert mask.shape == (3, 6) and int(mask.min()) == 1
+    assert labels.shape == (3,) and 0 <= int(labels.min())
+    assert int(labels.max()) < 9
+
+    u8, _, _, _ = device_synthetic_inputs(2, image_size=16, pixels="u8")
+    assert u8.dtype == jnp.uint8 and u8.shape == (2, 16, 16, 3)
+    assert 0 <= int(u8.min()) and int(u8.max()) <= 255
+
+    # distinct seeds must yield distinct buffers (bench rotates two)
+    a, *_ = device_synthetic_inputs(2, image_size=16, seed=0)
+    b, *_ = device_synthetic_inputs(2, image_size=16, seed=1)
+    assert float(jnp.abs(a - b).max()) > 0
 
 
 def test_time_chained_scalar_and_tuple_outputs():

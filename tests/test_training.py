@@ -777,6 +777,20 @@ def test_remat_cli_flag_threads_to_config():
     assert parse_args(["--demo", "--tiny"]).remat == "none"
 
 
+def test_stem_s2d_cli_flag_builds_s2d_model():
+    """--stem-s2d threads to the model factory (execution plan only: same
+    param tree, same math — numerical equivalence is proven in
+    test_models.test_stem_s2d_exact_equivalence)."""
+    from vqa_tpu.models import create_vqa_model
+    from vqa_tpu.training.train import parse_args
+
+    args = parse_args(["--stem-s2d", "--demo", "--tiny"])
+    assert args.stem_s2d is True
+    assert parse_args(["--demo", "--tiny"]).stem_s2d is False
+    model = create_vqa_model(stem_s2d=args.stem_s2d)
+    assert model.stem_s2d is True
+
+
 def test_unknown_question_type_goes_to_overflow_bucket():
     """A sample whose question_type is NOT in the loader's construction-time
     type vocab must map to the sentinel id len(vocab), and the val_step

@@ -697,6 +697,13 @@ def parse_args(argv=None):
                         "reference: README.md:349-353)")
     p.add_argument("--no-attention", action="store_true",
                    help="ablation: disable SE+spatial attention")
+    p.add_argument("--stem-s2d", action="store_true",
+                   help="space-to-depth stem execution plan (same "
+                        "parameters, same math — see models.StemConv). "
+                        "Measured +2.3%% train step throughput on v5e "
+                        "(the C_in=3 stem wgrad underfills the MXU; "
+                        "docs/PERF.md backward localization) but ~4%% "
+                        "slower inference, so it is train-opt-in")
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-4)
@@ -946,6 +953,7 @@ def main(argv=None):
         config=mcfg,
         use_attention=False if args.no_attention else None,
         dtype=dtype,
+        stem_s2d=args.stem_s2d,
         **ablation,
     )
     variables = init_vqa_model(model, jax.random.PRNGKey(tcfg.seed))

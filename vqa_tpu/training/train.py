@@ -700,10 +700,11 @@ def parse_args(argv=None):
     p.add_argument("--stem-s2d", action="store_true",
                    help="space-to-depth stem execution plan (same "
                         "parameters, same math — see models.StemConv). "
-                        "Measured +2.3%% train step throughput on v5e "
-                        "(the C_in=3 stem wgrad underfills the MXU; "
-                        "docs/PERF.md backward localization) but ~4%% "
-                        "slower inference, so it is train-opt-in")
+                        "Batch-dependent on v5e: +2.3%% train step at "
+                        "per-chip b=256 (the C_in=3 stem wgrad underfills "
+                        "the MXU; docs/PERF.md backward localization), "
+                        "-1.4%% at b=1024, ~4%% slower inference — opt in "
+                        "only at moderate per-chip batch")
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-4)

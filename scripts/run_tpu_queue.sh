@@ -1,13 +1,17 @@
 #!/bin/bash
-# Round-3 TPU-blocked work queue (memory: round3-remaining-queue).
-# Run when the axon tunnel is back: bash scripts/run_tpu_queue.sh
+# TPU-blocked work queue. Run when the axon tunnel is back:
+#   bash scripts/run_tpu_queue.sh
 # Each step saves raw JSON-lines output under /tmp/tpuq/ for the
-# docs/PERF.md + CHANGELOG write-ups; steps are independent, a failure
-# stops the queue so the state is inspectable.
-# Steps are independent: run every one even if an earlier one times out
-# (a b=1024 backward compile over the remote-compile tunnel can exceed any
-# single budget; partial JSON lines are still usable). pipefail so a
-# timed-out step is visible in the per-step rc log.
+# docs/PERF.md + CHANGELOG write-ups. Steps are independent and the queue
+# continues past a failed/timed-out step (partial JSON lines are still
+# usable); pipefail so a timed-out step is visible in the per-step rc log.
+#
+# Backward-pass steps run at --batch 256: docs/PERF.md documents that the
+# exp_bwd_* programs hang indefinitely at b=1024 when compiled fresh over
+# the remote-compile transport (idle sockets, reproduced 3x), and the
+# published docs/BWD_LOCALIZATION.json numbers were measured at b=256.
+# Set TPUQ_B1024=1 to additionally try the b=1024 variants under a short
+# (900 s) budget after the b=256 runs complete.
 set -o pipefail
 mkdir -p /tmp/tpuq
 cd "$(dirname "$0")/.."
@@ -15,21 +19,29 @@ cd "$(dirname "$0")/.."
 # `python -u scripts/x.py` get sys.path[0]=scripts/, so make the repo root importable.
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
-echo "== 1/6 bwd split (b=1024)" >&2
-timeout 3600 python -u scripts/exp_bwd_split.py --batch 1024 \
+echo "== 1/6 bwd split (b=256)" >&2
+timeout 1800 python -u scripts/exp_bwd_split.py --batch 256 \
   | tee /tmp/tpuq/bwd_split.json || echo "STEP FAILED rc=$?" >&2
 
-echo "== 2/6 bwd remat ladder (b=1024)" >&2
-timeout 3600 python -u scripts/exp_bwd_remat.py --batch 1024 \
+echo "== 2/6 bwd remat ladder (b=256)" >&2
+timeout 1800 python -u scripts/exp_bwd_remat.py --batch 256 \
   | tee /tmp/tpuq/bwd_remat.json || echo "STEP FAILED rc=$?" >&2
 
-echo "== 3/6 per-shape conv micro (b=1024)" >&2
-timeout 3600 python -u scripts/exp_bwd_conv_micro.py --batch 1024 \
+echo "== 3/6 per-shape conv micro (b=256)" >&2
+timeout 1800 python -u scripts/exp_bwd_conv_micro.py --batch 256 \
   | tee /tmp/tpuq/bwd_conv_micro.json || echo "STEP FAILED rc=$?" >&2
 
-echo "== 4/6 BN-train backward premium (b=1024)" >&2
-timeout 3600 python -u scripts/exp_bwd_bn.py --batch 1024 \
+echo "== 4/6 BN-train backward premium (b=256)" >&2
+timeout 1800 python -u scripts/exp_bwd_bn.py --batch 256 \
   | tee /tmp/tpuq/bwd_bn.json || echo "STEP FAILED rc=$?" >&2
+
+if [ -n "$TPUQ_B1024" ]; then
+  for exp in bwd_split bwd_remat bwd_conv_micro bwd_bn; do
+    echo "== extra: $exp (b=1024, 900 s budget)" >&2
+    timeout 900 python -u "scripts/exp_${exp}.py" --batch 1024 \
+      | tee "/tmp/tpuq/${exp}_b1024.json" || echo "STEP FAILED rc=$?" >&2
+  done
+fi
 
 echo "== 5/6 serving soak 10k x 16 clients (full-size engine)" >&2
 timeout 3600 python -u scripts/soak_test.py --requests 10000 --clients 16 \

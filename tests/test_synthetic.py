@@ -112,6 +112,45 @@ def test_spatial_variant_questions_and_vocab():
         assert base[i]["question_type"] in base.type_vocab()
 
 
+def test_spatial_rendering_larger_shapes_exact_cells():
+    """SPATIAL_DRAW renders bigger shapes (so 'what shape where' is
+    learnable — VERDICT r3 weak #1) while every colored pixel stays inside
+    the labeled 2x2 cell (position labels stay exact)."""
+    import numpy as np
+
+    from vqa_tpu.data.synthetic import SPATIAL_DRAW, _draw_scene
+
+    size = 224
+    half = size // 2
+    areas_default, areas_spatial = [], []
+    checked = 0
+    for seed in range(40):
+        # same seed → same scene structure; only the draw params differ
+        img_d, placed_d = _draw_scene(np.random.default_rng(seed), size)
+        img_s, placed_s = _draw_scene(
+            np.random.default_rng(seed), size, **SPATIAL_DRAW
+        )
+        arr = np.asarray(img_s, np.int32)
+        fg = (np.abs(arr - arr[0, 0]).sum(-1) > 60)  # far from bg color
+        areas_default.append(
+            (np.abs(np.asarray(img_d, np.int32) - np.asarray(
+                img_d, np.int32)[0, 0]).sum(-1) > 60).mean()
+        )
+        areas_spatial.append(fg.mean())
+        # no foreground pixel of ANY shape may fall outside the union of
+        # the labeled cells: fg ⊆ union of quads
+        union = np.zeros_like(fg)
+        for _, _, cell in placed_s:
+            y0, y1 = (cell // 2) * half, (cell // 2) * half + half
+            x0, x1 = (cell % 2) * half, (cell % 2) * half + half
+            union[y0:y1, x0:x1] = True
+        assert not (fg & ~union).any(), f"seed {seed}: shape leaked its cell"
+        checked += len(placed_s)
+    assert checked > 40
+    # spatial scenes carry meaningfully more shape pixels than default ones
+    assert np.mean(areas_spatial) > 1.4 * np.mean(areas_default)
+
+
 def test_corpus_generator_round_trips_through_real_data_path(tmp_path):
     """make_vqa_corpus writes the exact VQA-v2/COCO on-disk layout; the
     real-data VQADataset path consumes it, and the annotator answers carry

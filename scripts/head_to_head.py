@@ -70,8 +70,14 @@ def split_indices(n: int, seed: int):
 
 # ---------------------------------------------------------------------------
 def run_reference(corpus, subset, epochs, batch_size, lr, wd, seed,
-                  tok_path, vocab_path, max_len, ckpt_dir):
-    """Train the reference stack on CPU; returns (history, final_val)."""
+                  tok_path, vocab_path, max_len, ckpt_dir,
+                  dropout=None, answer_dropout=None, init_dump=None):
+    """Train the reference stack on CPU; returns (history, final_val).
+
+    ``dropout``/``answer_dropout`` override the model's regularization (0.0
+    disables it — the controlled-offset experiment); ``init_dump`` saves the
+    UNTRAINED epoch-0 state_dict to that path so our side can start from
+    identical weights via vqa_tpu.compat.torch_import."""
     sys.path.insert(0, os.path.join(REPO, "scripts", "ref_compat"))
     sys.path.insert(0, "/root/reference")
     import torch
@@ -121,7 +127,14 @@ def run_reference(corpus, subset, epochs, batch_size, lr, wd, seed,
         val_ds, batch_size=batch_size, shuffle=False,
         collate_fn=vqa_collate_fn,
     )
-    model = ref_create(vocab_size=tok.vocab_size)
+    overrides = {}
+    if dropout is not None:
+        overrides["dropout"] = dropout
+    if answer_dropout is not None:
+        overrides["answer_dropout"] = answer_dropout
+    model = ref_create(vocab_size=tok.vocab_size, **overrides)
+    if init_dump is not None:
+        torch.save({"model_state_dict": model.state_dict()}, init_dump)
     trainer = RefTrainer(
         model, train_loader, val_loader, device="cpu",
         learning_rate=lr, weight_decay=wd, num_epochs=epochs,
@@ -136,8 +149,15 @@ def run_reference(corpus, subset, epochs, batch_size, lr, wd, seed,
 
 # ---------------------------------------------------------------------------
 def run_ours(corpus, subset, epochs, batch_size, lr, wd, seed,
-             tokenizer, vocab, max_len, ckpt_dir):
-    """Train this framework with matched hparams; returns history."""
+             tokenizer, vocab, max_len, ckpt_dir,
+             dropout=None, answer_dropout=None, lr_schedule="step",
+             init_pth=None):
+    """Train this framework with matched hparams; returns history.
+
+    Controlled-experiment knobs: ``dropout``/``answer_dropout`` overrides,
+    ``lr_schedule='epoch'`` for the reference's per-epoch CosineAnnealingLR
+    stepping, ``init_pth`` = a reference state_dict .pth to start from
+    (identical-init comparison)."""
     import jax
 
     from vqa_tpu.data.dataset import BatchLoader, VQADataset
@@ -163,13 +183,26 @@ def run_ours(corpus, subset, epochs, batch_size, lr, wd, seed,
         ds_train, batch_size, shuffle=False, drop_last=False,
         indices=val_idx,
     )
-    mcfg = ModelConfig(vocab_size=tokenizer.vocab_size)
+    mkw = {}
+    if dropout is not None:
+        mkw["dropout"] = dropout
+    if answer_dropout is not None:
+        mkw["answer_dropout"] = answer_dropout
+    mcfg = ModelConfig(vocab_size=tokenizer.vocab_size, **mkw)
     model = create_vqa_model(config=mcfg, dtype=None)  # f32 end to end
-    variables = init_vqa_model(model, jax.random.PRNGKey(seed))
+    if init_pth is not None:
+        import torch
+
+        from vqa_tpu.compat.torch_import import convert_torch_state_dict
+
+        sd = torch.load(init_pth, map_location="cpu", weights_only=False)
+        variables = convert_torch_state_dict(sd["model_state_dict"])
+    else:
+        variables = init_vqa_model(model, jax.random.PRNGKey(seed))
     tcfg = TrainingConfig(
         batch_size=batch_size, learning_rate=lr, weight_decay=wd,
         num_epochs=epochs, warmup_epochs=0, min_lr=1e-6, use_bf16=False,
-        seed=seed,
+        seed=seed, lr_schedule_granularity=lr_schedule,
     )
     trainer = Trainer(
         model, variables, train_loader, val_loader, config=tcfg,
@@ -222,6 +255,22 @@ def main(argv=None):
     p.add_argument("--out", default="docs")
     p.add_argument("--skip-reference", action="store_true",
                    help="reuse a previous reference history JSON")
+    p.add_argument("--dropout", type=float, default=None,
+                   help="override transformer/CNN dropout on BOTH sides "
+                        "(0.0 = controlled-offset experiment)")
+    p.add_argument("--answer-dropout", type=float, default=None,
+                   help="override answer-head dropout on BOTH sides")
+    p.add_argument("--lr-schedule", choices=("step", "epoch"),
+                   default="step",
+                   help="our cosine granularity; 'epoch' matches the "
+                        "reference's per-epoch CosineAnnealingLR stepping")
+    p.add_argument("--init-from-ref", action="store_true",
+                   help="start our trainer from the reference model's "
+                        "epoch-0 weights (identical-init comparison)")
+    p.add_argument("--tag", default="",
+                   help="suffix for output artifacts; a tagged run writes "
+                        "docs/h2h_{tag}.json and does NOT overwrite "
+                        "HEAD_TO_HEAD.md (controlled experiments)")
     args = p.parse_args(argv)
 
     tmp = tempfile.mkdtemp(prefix="h2h_")
@@ -230,7 +279,12 @@ def main(argv=None):
     )
 
     ref_ckpt_dir = os.path.join(tmp, "ref_ckpt")
-    ref_state = os.path.join(args.out, "head_to_head_ref.json")
+    suffix = f"_{args.tag}" if args.tag else ""
+    ref_state = os.path.join(args.out, f"head_to_head_ref{suffix}.json")
+    ref_init_pth = (
+        os.path.join(args.out, f"head_to_head_ref_init{suffix}.pth")
+        if args.init_from_ref else None
+    )
     if args.skip_reference and os.path.exists(ref_state):
         with open(ref_state) as f:
             saved = json.load(f)
@@ -249,10 +303,12 @@ def main(argv=None):
             args.corpus, args.subset, args.epochs, args.batch_size,
             args.lr, args.weight_decay, args.seed,
             tok_path, vocab_path, args.max_question_length, ref_ckpt_dir,
+            dropout=args.dropout, answer_dropout=args.answer_dropout,
+            init_dump=ref_init_pth,
         )
         # persist the best checkpoint NEXT TO the state JSON — the tempdir
         # path would not survive /tmp cleanup, breaking --skip-reference
-        kept = os.path.join(args.out, "head_to_head_ref_best.pth")
+        kept = os.path.join(args.out, f"head_to_head_ref_best{suffix}.pth")
         shutil.copyfile(os.path.join(ref_ckpt_dir, "best_model.pth"), kept)
         ref_best_pth = kept
         with open(ref_state, "w") as f:
@@ -261,11 +317,17 @@ def main(argv=None):
                        "best_pth": kept}, f)
     print(f"[h2h] reference done in {ref_wall:.0f}s")
 
+    if ref_init_pth is not None and not os.path.exists(ref_init_pth):
+        raise SystemExit(
+            f"--init-from-ref: {ref_init_pth} missing (the reference run "
+            "that dumps it was skipped?); re-run without --skip-reference")
     ours_hist, ours_wall = run_ours(
         args.corpus, args.subset, args.epochs, args.batch_size,
         args.lr, args.weight_decay, args.seed,
         tokenizer, vocab, args.max_question_length,
         os.path.join(tmp, "ours_ckpt"),
+        dropout=args.dropout, answer_dropout=args.answer_dropout,
+        lr_schedule=args.lr_schedule, init_pth=ref_init_pth,
     )
     print(f"[h2h] ours done in {ours_wall:.0f}s")
 
@@ -309,8 +371,22 @@ def main(argv=None):
         "imported_ref_ckpt_val_top1": imported["top1_accuracy"],
         "imported_ref_ckpt_val_top5": imported["top5_accuracy"],
         "curves": rows,
+        "controls": {
+            "dropout": args.dropout, "answer_dropout": args.answer_dropout,
+            "lr_schedule": args.lr_schedule,
+            "init_from_ref": args.init_from_ref,
+        },
     }
     os.makedirs(args.out, exist_ok=True)
+    if args.tag:
+        # controlled experiment: JSON artifact only, keep the headline
+        # HEAD_TO_HEAD.md untouched
+        out_json = os.path.join(args.out, f"h2h_{args.tag}.json")
+        with open(out_json, "w") as f:
+            json.dump(result, f, indent=2)
+        print(json.dumps({k: v for k, v in result.items() if k != "curves"},
+                         indent=2))
+        return
     with open(os.path.join(args.out, "head_to_head.json"), "w") as f:
         json.dump(result, f, indent=2)
 

@@ -619,6 +619,52 @@ def test_warmup_zero_is_cosine_only_schedule():
     assert float(sched_w(2 * spe)) == pytest.approx(lr, rel=1e-5)
 
 
+def test_epoch_granularity_schedule_matches_torch_cosine_annealing():
+    """lr_schedule_granularity='epoch' reproduces the reference's scheduler
+    EXACTLY: torch CosineAnnealingLR(T_max=epochs, eta_min) stepped once per
+    epoch, so the LR is piecewise-constant within an epoch (reference:
+    training/train.py:139-143, scheduler.step() at :352). Checked against
+    torch itself, not a hand-derived formula."""
+    import torch
+
+    lr, min_lr, epochs, spe = 1e-4, 1e-6, 8, 25
+    cfg = TrainingConfig(
+        learning_rate=lr, min_lr=min_lr, warmup_epochs=0,
+        num_epochs=epochs, batch_size=4,
+        lr_schedule_granularity="epoch",
+    )
+    _, sched = make_optimizer(cfg, steps_per_epoch=spe)
+
+    opt = torch.optim.AdamW([torch.nn.Parameter(torch.zeros(1))], lr=lr)
+    torch_sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=epochs, eta_min=min_lr
+    )
+    for epoch in range(epochs):
+        expected = opt.param_groups[0]["lr"]
+        # constant across the whole epoch: first, middle, and last step
+        for step in (epoch * spe, epoch * spe + spe // 2,
+                     (epoch + 1) * spe - 1):
+            assert float(sched(step)) == pytest.approx(expected, rel=1e-6), (
+                epoch, step)
+        torch_sched.step()
+
+    # the default step granularity is strictly below the epoch-held LR
+    # mid-epoch (it is already partway down the cosine) — the measured
+    # cause of the head-to-head train-loss offset (docs/HEAD_TO_HEAD.md)
+    cfg_step = TrainingConfig(
+        learning_rate=lr, min_lr=min_lr, warmup_epochs=0,
+        num_epochs=epochs, batch_size=4,
+    )
+    _, sched_step = make_optimizer(cfg_step, steps_per_epoch=spe)
+    mid = 3 * spe + spe // 2
+    assert float(sched_step(mid)) < float(sched(mid))
+
+    with pytest.raises(ValueError, match="granularity"):
+        make_optimizer(
+            TrainingConfig(lr_schedule_granularity="minute"), 10
+        )
+
+
 def test_warmup_and_min_lr_cli_flags_thread_to_config():
     """The train CLI exposes --warmup-epochs/--min-lr so the reference's
     exact schedule is reachable from the command line."""

@@ -54,13 +54,38 @@ def make_optimizer(
     (reference: training/train.py:120-143, warmup fixed)."""
     warmup_steps = cfg.warmup_epochs * steps_per_epoch
     total_steps = max(cfg.num_epochs * steps_per_epoch, warmup_steps + 1)
-    schedule = optax.warmup_cosine_decay_schedule(
-        init_value=0.0 if warmup_steps else cfg.learning_rate,
-        peak_value=cfg.learning_rate,
-        warmup_steps=warmup_steps,
-        decay_steps=total_steps,
-        end_value=cfg.min_lr,
-    )
+    granularity = getattr(cfg, "lr_schedule_granularity", "step")
+    if granularity == "epoch":
+        # the reference's exact semantics: CosineAnnealingLR(T_max=epochs)
+        # stepped once per epoch, so the LR is piecewise-constant within an
+        # epoch at eta_min + (lr-eta_min)(1+cos(pi*e/T_max))/2 (reference:
+        # training/train.py:139-143,352). Warmup (when enabled) is likewise
+        # per-epoch: lr*(e+1)/warmup_epochs for the first warmup_epochs.
+        base = optax.cosine_decay_schedule(
+            init_value=cfg.learning_rate - cfg.min_lr,
+            decay_steps=max(cfg.num_epochs, 1),
+        )
+
+        def schedule(step):
+            epoch = jnp.minimum(step // steps_per_epoch, cfg.num_epochs)
+            lr = cfg.min_lr + base(epoch)
+            if cfg.warmup_epochs:
+                scale = jnp.minimum((epoch + 1.0) / cfg.warmup_epochs, 1.0)
+                lr = lr * scale
+            return lr
+    elif granularity == "step":
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if warmup_steps else cfg.learning_rate,
+            peak_value=cfg.learning_rate,
+            warmup_steps=warmup_steps,
+            decay_steps=total_steps,
+            end_value=cfg.min_lr,
+        )
+    else:
+        raise ValueError(
+            f"lr_schedule_granularity must be 'step' or 'epoch', "
+            f"got {granularity!r}"
+        )
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip_norm),
         optax.adamw(
@@ -717,6 +742,11 @@ def parse_args(argv=None):
                         "vs training/train.py:139-143) — pass 0 to "
                         "reproduce the reference's actual cosine-only "
                         "schedule exactly")
+    p.add_argument("--lr-schedule", choices=("step", "epoch"), default=None,
+                   help="cosine granularity: 'step' decays every optimizer "
+                        "step (default); 'epoch' reproduces the reference's "
+                        "per-epoch CosineAnnealingLR stepping exactly "
+                        "(reference: training/train.py:139-143,352)")
     p.add_argument("--min-lr", type=float, default=None,
                    help="cosine floor eta_min (default: "
                         "TrainingConfig.min_lr=1e-6; reference: "
@@ -835,6 +865,8 @@ def main(argv=None):
         sched_overrides["warmup_epochs"] = args.warmup_epochs
     if args.min_lr is not None:
         sched_overrides["min_lr"] = args.min_lr
+    if args.lr_schedule is not None:
+        sched_overrides["lr_schedule_granularity"] = args.lr_schedule
     tcfg = TrainingConfig(
         num_samples=args.subset_size,
         batch_size=per_process_bs,

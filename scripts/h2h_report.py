@@ -15,13 +15,14 @@ import glob
 import json
 import math
 import os
+import sys
 
 DOCS = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "docs")
 
 
-def load(tag):
-    path = os.path.join(DOCS, f"h2h_{tag}.json")
+def load(tag, docs=DOCS):
+    path = os.path.join(docs, f"h2h_{tag}.json")
     if not os.path.exists(path):
         return None
     with open(path) as f:
@@ -48,14 +49,15 @@ def mean_ci(xs):
     return m, 1.96 * sd / math.sqrt(n)
 
 
-def main():
-    step = load("s42_step")
-    epoch = load("s42_epoch")
-    refinit = load("s42_epoch_refinit")
-    controlled = load("s42_controlled")
+def main(docs=None):
+    docs = docs or (sys.argv[1] if len(sys.argv) > 1 else DOCS)
+    step = load("s42_step", docs)
+    epoch = load("s42_epoch", docs)
+    refinit = load("s42_epoch_refinit", docs)
+    controlled = load("s42_controlled", docs)
 
     seeds = {}
-    for path in sorted(glob.glob(os.path.join(DOCS, "h2h_seed*.json"))):
+    for path in sorted(glob.glob(os.path.join(docs, "h2h_seed*.json"))):
         tag = os.path.basename(path)[len("h2h_"):-len(".json")]
         with open(path) as f:
             seeds[int(tag[len("seed"):])] = json.load(f)
@@ -158,9 +160,13 @@ def main():
             "",
         ]
 
-    src = controlled or refinit or epoch or step
-    if src is not None and src.get("imported_ref_ckpt_val_top1") is not None:
-        base = step or src
+    src = next(
+        (r for r in (step, epoch, refinit, controlled, *seeds.values())
+         if r is not None and r.get("imported_ref_ckpt_val_top1") is not None),
+        None,
+    )
+    if src is not None:
+        base = src
         lines += [
             "**Cross-import check:** the reference-trained seed-42 "
             "`best_model.pth`, imported with `vqa_tpu.compat.torch_import` "
@@ -173,10 +179,11 @@ def main():
             "",
         ]
 
-    out = os.path.join(DOCS, "HEAD_TO_HEAD.md")
+    out = os.path.join(docs, "HEAD_TO_HEAD.md")
     with open(out, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {out}")
+    return out
 
 
 if __name__ == "__main__":

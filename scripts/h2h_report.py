@@ -111,7 +111,9 @@ def main(docs=None):
         ]
         gaps = {}
         for key, name, run in (
-            ("step", "step cosine (framework default)", step),
+            ("step", "step cosine + identical init" if (step or {}).get(
+                "controls", {}).get("init_from_ref")
+             else "step cosine (own init)", step),
             ("epoch", "per-epoch cosine (`--lr-schedule epoch`)", epoch),
             ("refinit", "per-epoch + identical init (`--init-from-ref`)", refinit),
             ("controlled", "per-epoch + identical init + dropout off both sides", controlled),
@@ -124,7 +126,11 @@ def main(docs=None):
             lines.append(f"| {name} | {sched} | {init} | {drop} | {cell} |")
         lines.append("")
         gs, gr, ge = gaps.get("step"), gaps.get("refinit"), gaps.get("epoch")
-        if gs is not None and gr is not None:
+        # only claim "init held identical" when the step artifact actually
+        # recorded init_from_ref (a rerun without --init-from-ref would
+        # otherwise make this sentence false — ADVICE r4)
+        step_refinit = bool((step or {}).get("controls", {}).get("init_from_ref"))
+        if gs is not None and gr is not None and step_refinit:
             sent = (
                 f"With init held identical on both sides, flipping only the "
                 f"schedule from per-step to per-epoch moves the gap from "
@@ -198,7 +204,7 @@ def main(docs=None):
     if src is not None:
         base = src
         lines += [
-            "**Cross-import check:** the reference-trained seed-42 "
+            f"**Cross-import check:** the reference-trained seed-{base.get('seed', '?')} "
             "`best_model.pth`, imported with `vqa_tpu.compat.torch_import` "
             "and evaluated by OUR evaluator on the same val split, scores "
             f"top-1 {base['imported_ref_ckpt_val_top1']:.3f} / top-5 "

@@ -80,6 +80,24 @@ def run_reference(corpus, subset, epochs, batch_size, lr, wd, seed,
     identical weights via vqa_tpu.compat.torch_import."""
     sys.path.insert(0, os.path.join(REPO, "scripts", "ref_compat"))
     sys.path.insert(0, "/root/reference")
+
+    # Sandbox the reference's path side effects: utils/config.py's
+    # PathConfig auto-mkdirs its hardcoded Windows-style "d:/cnn/..." paths
+    # into the CWD on import AND on every instantiation
+    # (/root/reference/utils/config.py:18-54). Intercept os.makedirs for
+    # those paths for the lifetime of the run — our own code never uses a
+    # "d:"-prefixed relative path, so this is a no-op outside the shim.
+    real_makedirs = os.makedirs
+    if not getattr(os.makedirs, "_ref_sandboxed", False):
+        def _sandboxed_makedirs(path, *a, **k):
+            p = str(path).replace("\\", "/")
+            if p.startswith("d:") or "/d:/" in p:
+                return None  # reference PathConfig's hardcoded paths
+            return real_makedirs(path, *a, **k)
+
+        _sandboxed_makedirs._ref_sandboxed = True
+        os.makedirs = _sandboxed_makedirs
+
     import torch
     from torch.utils.data import DataLoader
 

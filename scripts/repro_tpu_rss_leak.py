@@ -1,0 +1,104 @@
+"""Minimal repro for the per-execution host-RSS growth seen on the axon
+TPU backend (round-4 10k soak: monotonic +0.25 MB/request full-size;
+round-5 bisect: tiny model +0.095 MB/request on TPU, same serving stack
+flat on CPU — so the serving layer is exonerated and the leak sits in the
+TPU execution path).
+
+Runs a bare jitted forward in a loop — fresh host inputs each call, result
+pulled back to host, no HTTP/batcher/engine — and samples RSS. If RSS grows
+here, the leak is in the PJRT client (per-execution buffers / transfer
+bookkeeping), not in anything this framework allocates.
+
+Usage: python scripts/repro_tpu_rss_leak.py [--iters 3000] [--gc-every N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+from vqa_tpu.utils.cache import enable_compilation_cache
+
+
+def rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=3000)
+    p.add_argument("--gc-every", type=int, default=0,
+                   help="run gc.collect() every N iters (0 = never)")
+    p.add_argument("--windows", type=int, default=10)
+    from vqa_tpu.utils.platform import add_platform_args, apply_platform_args
+
+    add_platform_args(p)
+    args = p.parse_args()
+    apply_platform_args(args)
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vqa_tpu.models import create_vqa_model, init_vqa_model, predict_topk
+    from vqa_tpu.utils.config import tiny_model_config
+
+    cfg = tiny_model_config()
+    model = create_vqa_model(config=cfg)
+    variables = init_vqa_model(model, jax.random.PRNGKey(0))
+    size = cfg.image_size
+    length = cfg.max_question_length
+    backend = jax.devices()[0].platform
+
+    rng = np.random.default_rng(0)
+
+    def one(i: int):
+        img = rng.standard_normal((1, size, size, 3), dtype=np.float32)
+        ids = rng.integers(0, cfg.vocab_size, (1, length), dtype=np.int32)
+        mask = np.ones((1, length), np.int32)
+        idx, probs = predict_topk(model, variables, jnp.asarray(img),
+                                  jnp.asarray(ids), jnp.asarray(mask),
+                                  top_k=3)
+        return np.asarray(idx), np.asarray(probs)
+
+    one(0)  # compile
+    gc.collect()
+    r0 = rss_mb()
+    samples = [(0, r0)]
+    per = max(args.iters // args.windows, 1)
+    for i in range(args.iters):
+        one(i)
+        if args.gc_every and (i + 1) % args.gc_every == 0:
+            gc.collect()
+        if (i + 1) % per == 0:
+            samples.append((i + 1, rss_mb()))
+    gc.collect()
+    r1 = rss_mb()
+    growth = r1 - r0
+    last_third = [r for i, r in samples if i >= args.iters * 2 / 3]
+    lt = (last_third[-1] / last_third[0] - 1.0) * 100 if len(last_third) > 1 else 0.0
+    import json
+    print(json.dumps({
+        "backend": backend,
+        "iters": args.iters,
+        "gc_every": args.gc_every,
+        "rss_start_mb": round(r0, 1),
+        "rss_end_mb": round(r1, 1),
+        "growth_mb": round(growth, 1),
+        "kb_per_exec": round(growth * 1024 / args.iters, 1),
+        "rss_samples": [(i, round(r, 1)) for i, r in samples],
+        "last_third_growth_pct": round(lt, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

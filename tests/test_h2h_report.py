@@ -79,13 +79,33 @@ def test_full_campaign_report(tmp_path):
                                          best=(0.70 + seed / 100, 0.72)))
     out = h2h_report.main(docs=docs)
     text = open(out).read()
-    # the controlled ladder, the curve table, and the seed spread all render
-    assert "| step cosine (framework default) |" in text
+    # the controlled ladder, the curve table, and the seed spread all render.
+    # The step artifact records no controls.init_from_ref, so the row must be
+    # labeled own-init and the "init held identical" sentence suppressed
+    # (ADVICE r4).
+    assert "| step cosine (own init) |" in text
+    assert "With init held identical" not in text
     assert "+0.3000" in text          # step-schedule gap
     assert "+0.0100" in text          # fully controlled gap
     assert "## Seed-42 learning curves" in text
     assert "3 seeds per side" in text
     assert "Cross-import check" in text
+    assert "seed-42" in text          # cross-import names the actual seed
+
+
+def test_step_row_label_with_identical_init(tmp_path):
+    # when the step run DID use --init-from-ref (as the real campaign did),
+    # the row says so and the schedule-flip sentence is allowed
+    docs = str(tmp_path)
+    step = _run([(1.0, 1.3, 0.5, 0.5)] * 6)
+    step["controls"] = {"init_from_ref": True}
+    refinit = _run([(1.0, 1.05, 0.5, 0.5)] * 6)
+    _write(docs, "s42_step", step)
+    _write(docs, "s42_epoch_refinit", refinit)
+    out = h2h_report.main(docs=docs)
+    text = open(out).read()
+    assert "| step cosine + identical init |" in text
+    assert "With init held identical" in text
 
 
 def test_partial_campaign_report(tmp_path):

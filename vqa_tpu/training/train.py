@@ -60,14 +60,16 @@ def make_optimizer(
         # stepped once per epoch, so the LR is piecewise-constant within an
         # epoch at eta_min + (lr-eta_min)(1+cos(pi*e/T_max))/2 (reference:
         # training/train.py:139-143,352). Warmup (when enabled) is likewise
-        # per-epoch: lr*(e+1)/warmup_epochs for the first warmup_epochs.
+        # per-epoch: the already-cosine-decayed LR is scaled by
+        # min((e+1)/warmup_epochs, 1) for the first warmup_epochs.
         base = optax.cosine_decay_schedule(
             init_value=cfg.learning_rate - cfg.min_lr,
             decay_steps=max(cfg.num_epochs, 1),
         )
+        spe = max(steps_per_epoch, 1)  # drop_last can make it 0
 
         def schedule(step):
-            epoch = jnp.minimum(step // steps_per_epoch, cfg.num_epochs)
+            epoch = jnp.minimum(step // spe, cfg.num_epochs)
             lr = cfg.min_lr + base(epoch)
             if cfg.warmup_epochs:
                 scale = jnp.minimum((epoch + 1.0) / cfg.warmup_epochs, 1.0)

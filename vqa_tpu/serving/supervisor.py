@@ -1,0 +1,228 @@
+"""RSS-bounded worker recycling for the serving layer.
+
+The axon PJRT client retains ~42 KB of native memory per execution
+(bisect + minimal repro: docs/LEAK_TPU.md, scripts/repro_tpu_rss_leak.py),
+so a long-lived serving process grows without bound. This supervisor is
+the standard production mitigation for leaky native workers (cf. gunicorn
+``max_requests``, uWSGI ``reload-on-rss``): it runs the HTTP worker
+(``python -m vqa_tpu.serving.server --reuse-port``) as a child process,
+samples the child's RSS, and when it crosses ``--recycle-rss-mb`` performs
+a zero-downtime recycle:
+
+1. spawn a replacement worker on the SAME port (``SO_REUSEPORT`` — the
+   kernel load-balances new connections across the reuseport group);
+2. wait until the replacement is warm: the worker binds only after
+   engine warmup and then prints its readiness line, which the
+   supervisor watches for on the worker's stdout;
+3. SIGTERM the old worker, which drains — stops accepting, finishes
+   in-flight requests (bounded by ``--drain-s``), severs idle
+   keep-alive connections (ordinary HTTP/1.1: clients reconnect) and
+   exits.
+
+At no point is the port unserved, so availability is continuous and the
+serving tree's RSS sawtooths under the bound instead of leaking.
+
+Also respawns a worker that dies unexpectedly (crash-loop guarded by
+``--max-restarts``). Emits one JSON line per lifecycle event on stdout
+(``{"supervisor": "ready"|"recycle_start"|"recycle_done"|...}``) so
+harnesses (scripts/soak_test.py) can follow along.
+
+Reference analog: the reference serves via a single uvicorn process
+(/root/reference/api/main.py:293-321) with no recycle story.
+
+Usage:
+    python -m vqa_tpu.serving.supervisor --port 8000 \
+        --recycle-rss-mb 1200 [--tiny] [--checkpoint-dir D] [--platform P]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import socket
+import subprocess
+import sys
+import threading
+import time
+
+READY_MARKER = "[API] serving on "
+
+
+def rss_mb(pid: int) -> float:
+    """VmRSS of ``pid`` in MB (0.0 once the process is gone)."""
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
+
+
+class Worker:
+    """One serving child process + a stdout pump that spots readiness."""
+
+    def __init__(self, cmd, env=None):
+        self.proc = subprocess.Popen(
+            cmd,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        self.ready = threading.Event()
+        self._pump_thread = threading.Thread(target=self._pump, daemon=True)
+        self._pump_thread.start()
+
+    def _pump(self):
+        assert self.proc.stdout is not None
+        for line in self.proc.stdout:
+            sys.stdout.write(f"[worker {self.proc.pid}] {line}")
+            sys.stdout.flush()
+            if READY_MARKER in line:
+                self.ready.set()
+
+    @property
+    def pid(self) -> int:
+        return self.proc.pid
+
+    def alive(self) -> bool:
+        return self.proc.poll() is None
+
+    def stop(self, drain_grace: float):
+        """SIGTERM (worker drains in-flight requests), escalate to kill."""
+        if not self.alive():
+            return self.proc.poll()
+        self.proc.send_signal(signal.SIGTERM)
+        try:
+            return self.proc.wait(timeout=drain_grace)
+        except subprocess.TimeoutExpired:
+            self.proc.kill()
+            return self.proc.wait()
+
+
+def _event(kind: str, t0: float, **kw):
+    line = {"supervisor": kind, "t_s": round(time.monotonic() - t0, 1)}
+    line.update(kw)
+    print(json.dumps(line), flush=True)
+
+
+def _pick_port(host: str) -> int:
+    s = socket.socket()
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    s.bind((host, 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="VQA serving worker supervisor")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000,
+                   help="0 picks a free port (printed in the ready event)")
+    p.add_argument("--recycle-rss-mb", type=float, default=2048.0,
+                   help="recycle the worker when its RSS crosses this")
+    p.add_argument("--check-interval", type=float, default=1.0)
+    p.add_argument("--ready-timeout", type=float, default=900.0,
+                   help="max seconds for a worker to warm up and bind")
+    p.add_argument("--drain-s", type=float, default=10.0,
+                   help="worker's in-flight drain budget on SIGTERM")
+    p.add_argument("--max-restarts", type=int, default=3,
+                   help="give up after this many unexpected worker deaths")
+    # passthrough to vqa_tpu.serving.server
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+
+    host = args.host
+    port = args.port if args.port else _pick_port(host)
+
+    worker_cmd = [
+        sys.executable, "-m", "vqa_tpu.serving.server",
+        "--host", host, "--port", str(port), "--reuse-port",
+        "--drain-s", str(args.drain_s),
+    ]
+    if args.tiny:
+        worker_cmd.append("--tiny")
+    if args.checkpoint_dir:
+        worker_cmd += ["--checkpoint-dir", args.checkpoint_dir]
+    if args.platform:
+        worker_cmd += ["--platform", args.platform]
+
+    t0 = time.monotonic()
+    stop = threading.Event()
+
+    def _on_signal(signum, frame):
+        stop.set()
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
+    def spawn() -> Worker:
+        w = Worker(worker_cmd)
+        _event("spawn", t0, pid=w.pid)
+        return w
+
+    worker = spawn()
+    if not worker.ready.wait(args.ready_timeout):
+        _event("ready_timeout", t0, pid=worker.pid)
+        worker.stop(drain_grace=5.0)
+        return 1
+    _event("ready", t0, pid=worker.pid, port=port,
+           recycle_rss_mb=args.recycle_rss_mb)
+
+    recycles = 0
+    restarts = 0
+    rc = 0
+    while not stop.wait(args.check_interval):
+        if not worker.alive():
+            restarts += 1
+            _event("worker_died", t0, pid=worker.pid,
+                   returncode=worker.proc.poll(), restarts=restarts)
+            if restarts > args.max_restarts:
+                _event("giving_up", t0, restarts=restarts)
+                rc = 1
+                break
+            worker = spawn()
+            if not worker.ready.wait(args.ready_timeout):
+                _event("ready_timeout", t0, pid=worker.pid)
+                rc = 1
+                break
+            _event("ready", t0, pid=worker.pid, port=port)
+            continue
+
+        r = rss_mb(worker.pid)
+        if r > args.recycle_rss_mb:
+            recycles += 1
+            _event("recycle_start", t0, n=recycles, old_pid=worker.pid,
+                   rss_mb=round(r, 1))
+            replacement = Worker(worker_cmd)
+            if not replacement.ready.wait(args.ready_timeout):
+                # keep serving on the (leaky but live) old worker rather
+                # than flap — a failed warmup must not take the port down
+                _event("recycle_ready_timeout", t0, pid=replacement.pid)
+                replacement.stop(drain_grace=5.0)
+                recycles -= 1
+                continue
+            old = worker
+            worker = replacement
+            drain_t0 = time.monotonic()
+            old.stop(drain_grace=args.drain_s + 20.0)
+            _event("recycle_done", t0, n=recycles, old_pid=old.pid,
+                   new_pid=worker.pid,
+                   drain_s=round(time.monotonic() - drain_t0, 1),
+                   new_rss_mb=round(rss_mb(worker.pid), 1))
+
+    _event("stopping", t0, recycles=recycles, restarts=restarts)
+    worker.stop(drain_grace=args.drain_s + 20.0)
+    _event("stopped", t0)
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,9 +1,12 @@
 #!/bin/bash
 # Round-5 sequenced TPU queue. One job touches the tunnel at a time:
 #   (wait for the multi-seed ablation to finish)
-#   1. 10k-request on-chip soak UNDER the recycle supervisor
-#      (--supervisor-recycle-mb 1100: the round-4 leak grew ~0.25 MB/req
-#       from a ~630 MB baseline, so ~4-5 recycles over the run)
+#   1. 30k-request on-chip soak UNDER the recycle supervisor. Sizing: the
+#      round-4 leak grew ~0.25 MB/req (~14 MB/s at 57 rps) from a ~630 MB
+#      baseline; threshold 1600 MB triggers ~every 70 s of load, and 30k
+#      requests (~9 min) fit >=3 full recycle cycles so the sawtooth-aware
+#      pass criterion (bounded max + stationary troughs) has >=2 troughs
+#      to compare. 30k also exceeds the verdict's 10k bar.
 #   2. full bench.py (driver artifact dry-run; verifies the compact train
 #      sub-object against the README claim, VERDICT r4 weak #4)
 #   3. full pytest suite (CPU)
@@ -13,9 +16,9 @@ set -x
 while kill -0 "$(cat /tmp/r5_ablation.pid 2>/dev/null)" 2>/dev/null; do
   sleep 30
 done
-echo "=== 10k supervised soak (TPU) ==="
-timeout 5400 python scripts/soak_test.py --requests 10000 --clients 16 \
-  --supervisor-recycle-mb 1100 --out docs/SOAK_TPU.json
+echo "=== 30k supervised soak (TPU) ==="
+timeout 5400 python scripts/soak_test.py --requests 30000 --clients 16 \
+  --supervisor-recycle-mb 1600 --out docs/SOAK_TPU.json
 echo "SOAK_RC=$?"
 echo "=== bench (full) ==="
 timeout 3000 python bench.py > /tmp/bench_r5.json 2>/tmp/bench_r5.err

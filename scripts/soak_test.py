@@ -278,7 +278,12 @@ class _Supervisor:
                 if e["supervisor"].startswith(("recycle", "worker_died"))]
 
     def stop(self):
-        self.proc.send_signal(signal.SIGTERM)
+        if self.proc.poll() is not None:
+            return
+        try:
+            self.proc.send_signal(signal.SIGTERM)
+        except ProcessLookupError:
+            return
         try:
             self.proc.wait(timeout=90)
         except subprocess.TimeoutExpired:
@@ -360,6 +365,7 @@ def main():
         for c in range(args.clients)
     ]
     t0 = time.perf_counter()
+    wall0 = time.time()  # aligns supervisor event "wall" stamps to t0
     for c in clients:
         c.start()
     rss_max = rss0
@@ -454,6 +460,47 @@ def main():
         out["recycles"] = sup.recycle_events()
         out["recycles_done"] = sum(
             1 for e in out["recycles"] if e["supervisor"] == "recycle_done")
+        if out["recycles_done"] >= 1:
+            # The last-third statistic assumes a monotonic signal; under
+            # recycling, RSS is a SAWTOOTH and run-end phase decides what a
+            # last-third window sees. The leak-health facts under the
+            # mitigation are instead: (a) tree RSS stays BOUNDED — the old
+            # worker can overshoot the configured ceiling while the
+            # replacement warms, and the replacement adds its own baseline,
+            # so 2×ceiling + 1 GB is a generous static bound an unmitigated
+            # leak blows through; (b) the post-recycle TROUGHS are
+            # stationary — growth there would mean a leak outside the
+            # recycled worker (supervisor, client sockets, kernel).
+            bound_mb = 2 * args.supervisor_recycle_mb + 1024
+            rss_bounded = rss_max < bound_mb
+            troughs = []
+            for e in out["recycles"]:
+                if e["supervisor"] != "recycle_done" or "wall" not in e:
+                    continue
+                t_ev = e["wall"] - wall0
+                cand = [r for t, r in rss_series if t >= t_ev + 3.0]
+                if cand:
+                    troughs.append(round(cand[0], 1))
+            trough_growth = (
+                (troughs[-1] / troughs[0] - 1.0) * 100.0
+                if len(troughs) >= 2 else None
+            )
+            out["rss_bound_mb"] = bound_mb
+            out["rss_bounded"] = bool(rss_bounded)
+            out["trough_rss_mb"] = troughs
+            out["trough_growth_pct"] = (
+                round(trough_growth, 2) if trough_growth is not None
+                else None
+            )
+            out["plateau_definition"] = (
+                "sawtooth: bounded max + stationary post-recycle troughs "
+                "(the monotonic last-third statistic is reported above "
+                "but not scored)"
+            )
+            rss_plateaued = rss_bounded and (
+                trough_growth is None or trough_growth < 10.0
+            )
+            out["rss_plateaued"] = bool(rss_plateaued)
     else:
         out["server_metrics"] = server.batcher.latency_stats()
         out["backend"] = __import__("jax").default_backend()

@@ -105,7 +105,10 @@ class Worker:
 
 
 def _event(kind: str, t0: float, **kw):
-    line = {"supervisor": kind, "t_s": round(time.monotonic() - t0, 1)}
+    # "wall" lets out-of-process harnesses (soak_test.py) align events with
+    # their own sample clocks
+    line = {"supervisor": kind, "t_s": round(time.monotonic() - t0, 1),
+            "wall": round(time.time(), 2)}
     line.update(kw)
     print(json.dumps(line), flush=True)
 

@@ -115,7 +115,14 @@ class Client(threading.Thread):
         self.conn = None
 
     def _request(self, method, path, body=None, headers=None):
-        for attempt in (0, 1):  # one reconnect on a dropped keep-alive
+        # Reconnect-and-retry on connection-level failures: a server may
+        # close a keep-alive connection between requests (RFC 7230 §6.3.1
+        # says clients SHOULD retry), and during a worker recycle the
+        # retry itself can race the draining worker's socket teardown —
+        # so allow a couple of fresh connections before giving up. All
+        # endpoints here are idempotent.
+        last = 2
+        for attempt in range(last + 1):
             try:
                 if self.conn is None:
                     self.conn = http.client.HTTPConnection(
@@ -133,8 +140,9 @@ class Client(threading.Thread):
                 if self.conn is not None:
                     self.conn.close()
                 self.conn = None
-                if attempt:
+                if attempt == last:
                     raise
+                time.sleep(0.05 * (attempt + 1))
         raise RuntimeError("unreachable")
 
     def run(self):

@@ -245,7 +245,12 @@ class _Supervisor:
     def __init__(self, args, ckpt_dir):
         cmd = [sys.executable, "-m", "vqa_tpu.serving.supervisor",
                "--host", "127.0.0.1", "--port", "0",
-               "--recycle-rss-mb", str(args.supervisor_recycle_mb)]
+               "--recycle-rss-mb", str(args.supervisor_recycle_mb),
+               # replacement warmup under full soak load takes ~430s on
+               # this 1-core host; 600s bounds a wedged warmup (hung axon
+               # RPC) so the supervisor's spawn retry recovers in-run
+               # instead of eating its default 900s
+               "--ready-timeout", "600"]
         if args.tiny:
             cmd.append("--tiny")
         else:
@@ -342,7 +347,16 @@ def main():
         # serving side is a whole process tree managed by the recycle
         # supervisor; this process only drives clients and samples RSS
         sup = _Supervisor(args, ckpt_dir)
-        port = sup.wait_port(timeout=900)
+        # a killed soak must not orphan the supervisor tree (whose stdout
+        # pipe then has no reader — its next event print would block)
+        def _teardown(signum, frame):
+            sup.stop()
+            os._exit(1)
+        signal.signal(signal.SIGTERM, _teardown)
+        signal.signal(signal.SIGINT, _teardown)
+        # the supervisor retries a wedged initial warmup (600s ready-timeout
+        # per try, --max-restarts tries) — cover one hang + one clean warmup
+        port = sup.wait_port(timeout=1500)
         rss_fn = lambda: _tree_rss_mb(sup.proc.pid)  # noqa: E731
     else:
         engine = VQAInference(

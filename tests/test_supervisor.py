@@ -64,6 +64,51 @@ def test_worker_not_ready_without_marker():
         w.stop(drain_grace=5.0)
 
 
+def test_initial_spawn_retries_on_wedged_warmup(tmp_path):
+    """A first worker whose warmup never completes (observed in the wild:
+    a lost axon-client RPC futex-parks the worker forever) must be killed
+    at --ready-timeout and respawned, not turned into a supervisor exit.
+    The fake worker is ready only on its SECOND spawn (flag-file state)."""
+    import json
+    import signal
+    import subprocess
+    import time
+
+    flag = tmp_path / "second_spawn"
+    fake = (
+        "import os, sys, time; f = sys.argv[1]\n"
+        "if os.path.exists(f):\n"
+        f"    print({READY_MARKER + 'http://x:1'!r}, flush=True)\n"
+        "else:\n"
+        "    open(f, 'w').close(); print('warming', flush=True)\n"
+        "time.sleep(120)\n"
+    )
+    cmd = f"{sys.executable} -u -c \"{fake}\" {flag}"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "vqa_tpu.serving.supervisor",
+         "--port", "0", "--ready-timeout", "10", "--check-interval", "0.2",
+         "--max-restarts", "3", "--worker-cmd", cmd],
+        stdout=subprocess.PIPE, text=True)
+    events = []
+    deadline = time.monotonic() + 90
+    assert proc.stdout is not None
+    while time.monotonic() < deadline:
+        line = proc.stdout.readline()
+        if line.startswith("{"):
+            ev = json.loads(line)
+            events.append(ev["supervisor"])
+            if ev["supervisor"] == "ready":
+                break
+    proc.send_signal(signal.SIGTERM)
+    rc = proc.wait(timeout=30)
+    kinds = [k for k in events if k != "spawn"]
+    # under host load the first worker may be killed before it can even
+    # start, costing an extra cycle — require >=1 retry then readiness
+    assert kinds and kinds[-1] == "ready", events
+    assert "ready_timeout" in kinds, events
+    assert rc == 0
+
+
 def test_worker_stop_escalates_to_kill():
     """A worker that ignores SIGTERM must still die within the grace."""
     w = Worker([

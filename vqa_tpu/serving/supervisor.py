@@ -140,22 +140,29 @@ def main(argv=None) -> int:
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--platform", default=None)
+    # test hook: replace the worker command entirely (shlex-split string);
+    # lets the suite exercise spawn/retry/recycle logic without a model
+    p.add_argument("--worker-cmd", default=None, help=argparse.SUPPRESS)
     args = p.parse_args(argv)
 
     host = args.host
     port = args.port if args.port else _pick_port(host)
 
-    worker_cmd = [
-        sys.executable, "-m", "vqa_tpu.serving.server",
-        "--host", host, "--port", str(port), "--reuse-port",
-        "--drain-s", str(args.drain_s),
-    ]
-    if args.tiny:
-        worker_cmd.append("--tiny")
-    if args.checkpoint_dir:
-        worker_cmd += ["--checkpoint-dir", args.checkpoint_dir]
-    if args.platform:
-        worker_cmd += ["--platform", args.platform]
+    if args.worker_cmd:
+        import shlex
+        worker_cmd = shlex.split(args.worker_cmd)
+    else:
+        worker_cmd = [
+            sys.executable, "-m", "vqa_tpu.serving.server",
+            "--host", host, "--port", str(port), "--reuse-port",
+            "--drain-s", str(args.drain_s),
+        ]
+        if args.tiny:
+            worker_cmd.append("--tiny")
+        if args.checkpoint_dir:
+            worker_cmd += ["--checkpoint-dir", args.checkpoint_dir]
+        if args.platform:
+            worker_cmd += ["--platform", args.platform]
 
     t0 = time.monotonic()
     stop = threading.Event()
@@ -171,16 +178,34 @@ def main(argv=None) -> int:
         _event("spawn", t0, pid=w.pid)
         return w
 
-    worker = spawn()
-    if not worker.ready.wait(args.ready_timeout):
-        _event("ready_timeout", t0, pid=worker.pid)
-        worker.stop(drain_grace=5.0)
+    restarts = 0
+
+    def spawn_until_ready():
+        """Spawn a worker and wait for readiness; a warmup that never
+        completes (observed in the wild: a lost RPC in the axon PJRT
+        client leaves the worker futex-parked forever while the tunnel
+        stays healthy for other clients) is treated like a dead worker —
+        kill it and retry, against the shared ``--max-restarts`` budget.
+        Returns the ready Worker, or None when the budget is exhausted."""
+        nonlocal restarts
+        while True:
+            cand = spawn()
+            if cand.ready.wait(args.ready_timeout):
+                return cand
+            restarts += 1
+            _event("ready_timeout", t0, pid=cand.pid, restarts=restarts)
+            cand.stop(drain_grace=5.0)
+            if restarts > args.max_restarts:
+                _event("giving_up", t0, restarts=restarts)
+                return None
+
+    worker = spawn_until_ready()
+    if worker is None:
         return 1
     _event("ready", t0, pid=worker.pid, port=port,
            recycle_rss_mb=args.recycle_rss_mb)
 
     recycles = 0
-    restarts = 0
     rc = 0
     while not stop.wait(args.check_interval):
         if not worker.alive():
@@ -191,9 +216,8 @@ def main(argv=None) -> int:
                 _event("giving_up", t0, restarts=restarts)
                 rc = 1
                 break
-            worker = spawn()
-            if not worker.ready.wait(args.ready_timeout):
-                _event("ready_timeout", t0, pid=worker.pid)
+            worker = spawn_until_ready()
+            if worker is None:
                 rc = 1
                 break
             _event("ready", t0, pid=worker.pid, port=port)

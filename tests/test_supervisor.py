@@ -109,6 +109,63 @@ def test_initial_spawn_retries_on_wedged_warmup(tmp_path):
     assert rc == 0
 
 
+def test_stop_mid_recycle_reaps_both_children(tmp_path):
+    """SIGTERM while a recycle overlap is in flight (old worker serving,
+    replacement still warming) must interrupt the warmup wait promptly and
+    reap BOTH children. Regression: the supervisor used to block in
+    ready.wait() for the full --ready-timeout, get SIGKILLed by its
+    parent's shorter kill-grace, and orphan the old worker (observed after
+    the 140k on-chip soak: a live serving process left holding the TPU)."""
+    import json
+    import signal
+    import subprocess
+    import time
+
+    flag = tmp_path / "first_spawn_done"
+    # first spawn: ready instantly (and trips --recycle-rss-mb 1 at the
+    # next RSS sample); later spawns: warm forever
+    fake = (
+        "import os, sys, time; f = sys.argv[1]\n"
+        "if not os.path.exists(f):\n"
+        "    open(f, 'w').close()\n"
+        f"    print({READY_MARKER + 'http://x:1'!r}, flush=True)\n"
+        "else:\n"
+        "    print('warming forever', flush=True)\n"
+        "time.sleep(300)\n"
+    )
+    cmd = f"{sys.executable} -u -c \"{fake}\" {flag}"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "vqa_tpu.serving.supervisor",
+         "--port", "0", "--ready-timeout", "240", "--check-interval", "0.2",
+         "--recycle-rss-mb", "1", "--worker-cmd", cmd],
+        stdout=subprocess.PIPE, text=True)
+    assert proc.stdout is not None
+    child_pids = []
+    deadline = time.monotonic() + 60
+    saw_recycle_start = False
+    while time.monotonic() < deadline:
+        line = proc.stdout.readline()
+        if not line.startswith("{"):
+            continue
+        ev = json.loads(line)
+        if ev["supervisor"] == "spawn":
+            child_pids.append(ev["pid"])
+        if ev["supervisor"] == "recycle_start":
+            saw_recycle_start = True
+        if saw_recycle_start and len(child_pids) >= 2:
+            break
+    assert saw_recycle_start and len(child_pids) >= 2, child_pids
+    # replacement is now stuck warming; stop must not take ~ready-timeout
+    t0 = time.monotonic()
+    proc.send_signal(signal.SIGTERM)
+    proc.wait(timeout=45)
+    assert time.monotonic() - t0 < 45
+    # every child it ever spawned is gone
+    time.sleep(1.0)
+    for pid in child_pids:
+        assert rss_mb(pid) == 0.0, f"orphaned child {pid}"
+
+
 def test_worker_stop_escalates_to_kill():
     """A worker that ignores SIGTERM must still die within the grace."""
     w = Worker([

@@ -80,10 +80,18 @@ class Worker:
     def _pump(self):
         assert self.proc.stdout is not None
         for line in self.proc.stdout:
-            sys.stdout.write(f"[worker {self.proc.pid}] {line}")
-            sys.stdout.flush()
+            # Spot readiness BEFORE echoing: if our own stdout is a pipe
+            # whose reader died (observed: harness killed mid-recycle), the
+            # echo raises BrokenPipeError — that must not stop us from
+            # marking the worker ready, or the recycle wedges on a worker
+            # that is in fact serving.
             if READY_MARKER in line:
                 self.ready.set()
+            try:
+                sys.stdout.write(f"[worker {self.proc.pid}] {line}")
+                sys.stdout.flush()
+            except OSError:
+                pass  # keep draining the child's pipe so it never blocks
 
     @property
     def pid(self) -> int:
@@ -173,10 +181,32 @@ def main(argv=None) -> int:
     signal.signal(signal.SIGTERM, _on_signal)
     signal.signal(signal.SIGINT, _on_signal)
 
+    # Every child we ever spawned and haven't reaped: teardown must cover
+    # a recycle caught mid-overlap (old worker + warming replacement), not
+    # just the current serving worker. A supervisor SIGKILLed while blocked
+    # in a multi-minute warmup wait orphaned the old worker once — hence
+    # the stop-interruptible waits below and the finally-block sweep.
+    live: set = set()
+
     def spawn() -> Worker:
         w = Worker(worker_cmd)
+        live.add(w)
         _event("spawn", t0, pid=w.pid)
         return w
+
+    def reap(w: Worker, drain_grace: float):
+        w.stop(drain_grace=drain_grace)
+        live.discard(w)
+
+    def wait_ready(w: Worker, timeout: float) -> bool:
+        """ready.wait() in 1 s slices so a stop signal interrupts a warmup
+        wait (TPU warmups run minutes; the parent's kill-grace is shorter).
+        Returns False on timeout OR stop."""
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline and not stop.is_set():
+            if w.ready.wait(min(1.0, max(0.0, deadline - time.monotonic()))):
+                return True
+        return w.ready.is_set() and not stop.is_set()
 
     restarts = 0
 
@@ -186,68 +216,79 @@ def main(argv=None) -> int:
         client leaves the worker futex-parked forever while the tunnel
         stays healthy for other clients) is treated like a dead worker —
         kill it and retry, against the shared ``--max-restarts`` budget.
-        Returns the ready Worker, or None when the budget is exhausted."""
+        Returns the ready Worker, or None on budget exhaustion or stop."""
         nonlocal restarts
-        while True:
+        while not stop.is_set():
             cand = spawn()
-            if cand.ready.wait(args.ready_timeout):
+            if wait_ready(cand, args.ready_timeout):
                 return cand
+            if stop.is_set():
+                reap(cand, drain_grace=5.0)
+                return None
             restarts += 1
             _event("ready_timeout", t0, pid=cand.pid, restarts=restarts)
-            cand.stop(drain_grace=5.0)
+            reap(cand, drain_grace=5.0)
             if restarts > args.max_restarts:
                 _event("giving_up", t0, restarts=restarts)
                 return None
-
-    worker = spawn_until_ready()
-    if worker is None:
-        return 1
-    _event("ready", t0, pid=worker.pid, port=port,
-           recycle_rss_mb=args.recycle_rss_mb)
+        return None
 
     recycles = 0
     rc = 0
-    while not stop.wait(args.check_interval):
-        if not worker.alive():
-            restarts += 1
-            _event("worker_died", t0, pid=worker.pid,
-                   returncode=worker.proc.poll(), restarts=restarts)
-            if restarts > args.max_restarts:
-                _event("giving_up", t0, restarts=restarts)
-                rc = 1
-                break
-            worker = spawn_until_ready()
-            if worker is None:
-                rc = 1
-                break
-            _event("ready", t0, pid=worker.pid, port=port)
-            continue
+    try:
+        worker = spawn_until_ready()
+        if worker is None:
+            return 1
+        _event("ready", t0, pid=worker.pid, port=port,
+               recycle_rss_mb=args.recycle_rss_mb)
 
-        r = rss_mb(worker.pid)
-        if r > args.recycle_rss_mb:
-            recycles += 1
-            _event("recycle_start", t0, n=recycles, old_pid=worker.pid,
-                   rss_mb=round(r, 1))
-            replacement = Worker(worker_cmd)
-            if not replacement.ready.wait(args.ready_timeout):
-                # keep serving on the (leaky but live) old worker rather
-                # than flap — a failed warmup must not take the port down
-                _event("recycle_ready_timeout", t0, pid=replacement.pid)
-                replacement.stop(drain_grace=5.0)
-                recycles -= 1
+        while not stop.wait(args.check_interval):
+            if not worker.alive():
+                restarts += 1
+                _event("worker_died", t0, pid=worker.pid,
+                       returncode=worker.proc.poll(), restarts=restarts)
+                live.discard(worker)
+                if restarts > args.max_restarts:
+                    _event("giving_up", t0, restarts=restarts)
+                    rc = 1
+                    break
+                worker = spawn_until_ready()
+                if worker is None:
+                    rc = 1
+                    break
+                _event("ready", t0, pid=worker.pid, port=port)
                 continue
-            old = worker
-            worker = replacement
-            drain_t0 = time.monotonic()
-            old.stop(drain_grace=args.drain_s + 20.0)
-            _event("recycle_done", t0, n=recycles, old_pid=old.pid,
-                   new_pid=worker.pid,
-                   drain_s=round(time.monotonic() - drain_t0, 1),
-                   new_rss_mb=round(rss_mb(worker.pid), 1))
 
-    _event("stopping", t0, recycles=recycles, restarts=restarts)
-    worker.stop(drain_grace=args.drain_s + 20.0)
-    _event("stopped", t0)
+            r = rss_mb(worker.pid)
+            if r > args.recycle_rss_mb:
+                recycles += 1
+                _event("recycle_start", t0, n=recycles, old_pid=worker.pid,
+                       rss_mb=round(r, 1))
+                replacement = spawn()
+                if not wait_ready(replacement, args.ready_timeout):
+                    # keep serving on the (leaky but live) old worker
+                    # rather than flap — a failed warmup must not take
+                    # the port down; on stop, the finally sweep reaps both
+                    if stop.is_set():
+                        break
+                    _event("recycle_ready_timeout", t0, pid=replacement.pid)
+                    reap(replacement, drain_grace=5.0)
+                    recycles -= 1
+                    continue
+                old = worker
+                worker = replacement
+                drain_t0 = time.monotonic()
+                reap(old, drain_grace=args.drain_s + 20.0)
+                _event("recycle_done", t0, n=recycles, old_pid=old.pid,
+                       new_pid=worker.pid,
+                       drain_s=round(time.monotonic() - drain_t0, 1),
+                       new_rss_mb=round(rss_mb(worker.pid), 1))
+    finally:
+        _event("stopping", t0, recycles=recycles, restarts=restarts,
+               live_children=[w.pid for w in live])
+        for w in list(live):
+            reap(w, drain_grace=args.drain_s + 20.0)
+        _event("stopped", t0)
     return rc
 
 

@@ -166,6 +166,46 @@ def test_stop_mid_recycle_reaps_both_children(tmp_path):
         assert rss_mb(pid) == 0.0, f"orphaned child {pid}"
 
 
+def test_recycle_period_warning_when_warmup_outpaces_serving():
+    """When a replacement's warmup takes longer than the worker served
+    before tripping the threshold, the sawtooth cannot stay under the
+    bound (the 50k-soak failure mode, docs/LEAK_TPU.md) — the supervisor
+    must say so via a recycle_period_warning event."""
+    import json
+    import signal
+    import subprocess
+    import time
+
+    # every worker: 2 s warmup, then ready; threshold 1 MB trips at the
+    # first RSS sample (~0.2 s serve period) → warmup (2 s) > serve period
+    fake = (
+        "import time; time.sleep(2.0)\n"
+        f"print({READY_MARKER + 'http://x:1'!r}, flush=True)\n"
+        "time.sleep(300)\n"
+    )
+    cmd = f"{sys.executable} -u -c \"{fake}\""
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "vqa_tpu.serving.supervisor",
+         "--port", "0", "--ready-timeout", "60", "--check-interval", "0.2",
+         "--recycle-rss-mb", "1", "--worker-cmd", cmd],
+        stdout=subprocess.PIPE, text=True)
+    assert proc.stdout is not None
+    kinds = []
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        line = proc.stdout.readline()
+        if not line.startswith("{"):
+            continue
+        ev = json.loads(line)
+        kinds.append(ev["supervisor"])
+        if ev["supervisor"] == "recycle_period_warning":
+            assert ev["warmup_s"] > ev["serve_s"], ev
+            break
+    proc.send_signal(signal.SIGTERM)
+    proc.wait(timeout=45)
+    assert "recycle_period_warning" in kinds, kinds
+
+
 def test_worker_stop_escalates_to_kill():
     """A worker that ignores SIGTERM must still die within the grace."""
     w = Worker([

@@ -241,6 +241,7 @@ def main(argv=None) -> int:
             return 1
         _event("ready", t0, pid=worker.pid, port=port,
                recycle_rss_mb=args.recycle_rss_mb)
+        served_since = time.monotonic()
 
         while not stop.wait(args.check_interval):
             if not worker.alive():
@@ -262,8 +263,10 @@ def main(argv=None) -> int:
             r = rss_mb(worker.pid)
             if r > args.recycle_rss_mb:
                 recycles += 1
+                serve_s = time.monotonic() - served_since
                 _event("recycle_start", t0, n=recycles, old_pid=worker.pid,
                        rss_mb=round(r, 1))
+                warmup_t0 = time.monotonic()
                 replacement = spawn()
                 if not wait_ready(replacement, args.ready_timeout):
                     # keep serving on the (leaky but live) old worker
@@ -275,14 +278,30 @@ def main(argv=None) -> int:
                     reap(replacement, drain_grace=5.0)
                     recycles -= 1
                     continue
+                warmup_s = time.monotonic() - warmup_t0
                 old = worker
                 worker = replacement
+                served_since = time.monotonic()
                 drain_t0 = time.monotonic()
                 reap(old, drain_grace=args.drain_s + 20.0)
                 _event("recycle_done", t0, n=recycles, old_pid=old.pid,
                        new_pid=worker.pid,
                        drain_s=round(time.monotonic() - drain_t0, 1),
+                       serve_s=round(serve_s, 1),
+                       warmup_s=round(warmup_s, 1),
                        new_rss_mb=round(rss_mb(worker.pid), 1))
+                if warmup_s > serve_s:
+                    # the worker leaks past the threshold faster than a
+                    # replacement can warm: the recycle loop can't keep the
+                    # sawtooth under the configured bound (observed in the
+                    # 50k soak, docs/LEAK_TPU.md) — the operator should
+                    # raise --recycle-rss-mb above warmup_rate × leak_rate
+                    _event("recycle_period_warning", t0, n=recycles,
+                           serve_s=round(serve_s, 1),
+                           warmup_s=round(warmup_s, 1),
+                           hint="replacement warmup exceeds the serve "
+                                "period at this --recycle-rss-mb; RSS will "
+                                "overshoot the bound — raise the threshold")
     finally:
         _event("stopping", t0, recycles=recycles, restarts=restarts,
                live_children=[w.pid for w in live])

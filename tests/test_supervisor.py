@@ -206,6 +206,32 @@ def test_recycle_period_warning_when_warmup_outpaces_serving():
     assert "recycle_period_warning" in kinds, kinds
 
 
+def test_crash_looping_worker_fails_fast():
+    """A worker that dies instantly (bad flags, import error) must burn a
+    restart immediately, not --ready-timeout per try: with a 300 s
+    ready-timeout and max-restarts 2 the supervisor must give up in
+    seconds, not minutes."""
+    import json
+    import subprocess
+    import time
+
+    cmd = f"{sys.executable} -c \"import sys; sys.exit(3)\""
+    t0 = time.monotonic()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "vqa_tpu.serving.supervisor",
+         "--port", "0", "--ready-timeout", "300", "--check-interval", "0.2",
+         "--max-restarts", "2", "--worker-cmd", cmd],
+        stdout=subprocess.PIPE, text=True)
+    rc = proc.wait(timeout=60)
+    took = time.monotonic() - t0
+    assert rc == 1
+    assert took < 60, took
+    assert proc.stdout is not None
+    kinds = [json.loads(line)["supervisor"] for line in proc.stdout
+             if line.startswith("{")]
+    assert "giving_up" in kinds, kinds
+
+
 def test_worker_stop_escalates_to_kill():
     """A worker that ignores SIGTERM must still die within the grace."""
     w = Worker([

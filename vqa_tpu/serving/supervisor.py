@@ -200,12 +200,18 @@ def main(argv=None) -> int:
 
     def wait_ready(w: Worker, timeout: float) -> bool:
         """ready.wait() in 1 s slices so a stop signal interrupts a warmup
-        wait (TPU warmups run minutes; the parent's kill-grace is shorter).
-        Returns False on timeout OR stop."""
+        wait (TPU warmups run minutes; the parent's kill-grace is shorter)
+        and a candidate that DIES mid-warmup fails fast instead of eating
+        the whole timeout (a crash-looping worker would otherwise turn
+        each retry into --ready-timeout of dead air).
+        Returns False on timeout, death, or stop."""
         deadline = time.monotonic() + timeout
         while time.monotonic() < deadline and not stop.is_set():
             if w.ready.wait(min(1.0, max(0.0, deadline - time.monotonic()))):
                 return True
+            if not w.alive():
+                # the pump may still be draining a final marker line
+                return w.ready.wait(1.0) and not stop.is_set()
         return w.ready.is_set() and not stop.is_set()
 
     restarts = 0
@@ -258,6 +264,7 @@ def main(argv=None) -> int:
                     rc = 1
                     break
                 _event("ready", t0, pid=worker.pid, port=port)
+                served_since = time.monotonic()
                 continue
 
             r = rss_mb(worker.pid)

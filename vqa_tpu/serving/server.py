@@ -494,6 +494,10 @@ class VQAServer:
                 with self._inflight_lock:
                     if self._inflight == 0:
                         break
+            else:
+                # don't busy-spin the (single) host core out from under
+                # the in-flight requests we're waiting on
+                _time.sleep(0.05)
         self.batcher.shutdown()
 
     def shutdown(self):

@@ -120,8 +120,11 @@ def main(argv=None):
     cells = _load_existing(args.out)
 
     def write_out():
+        # every variant with cells, NOT just --variants: a partial rerun
+        # must never drop another variant's committed results from the
+        # artifact (round 5 briefly lost the no_attention column this way)
         variants = {}
-        for v in args.variants.split(","):
+        for v in sorted({vv for (vv, _) in cells}):
             per_seed = {str(s): cells[(v, s)] for s in sorted(
                 {s for (vv, s) in cells if vv == v})}
             if not per_seed:

@@ -56,6 +56,12 @@ def emit(line: dict, final: bool = False) -> None:
 
 
 def _flush_and_exit(signum, frame):
+    # Signal context: the signal may land while the main thread is inside
+    # emit()'s print holding the stdout BufferedWriter lock, where a
+    # reentrant print()/flush() raises RuntimeError and the handler would
+    # die before reaching os._exit — losing the very line this guard
+    # exists to save. Write the raw fd instead; the leading newline closes
+    # any half-written line so the flushed JSON stays parseable on its own.
     if not _FINAL_PRINTED:
         line = dict(_LAST_LINE) if _LAST_LINE else {
             "metric": "pairs_per_sec_per_chip", "value": 0.0,
@@ -67,9 +73,10 @@ def _flush_and_exit(signum, frame):
             line["killed_by"] = signal.Signals(signum).name
         except ValueError:
             line["killed_by"] = int(signum)
-        print(json.dumps(line), flush=True)
-    sys.stdout.flush()
-    sys.stderr.flush()
+        try:
+            os.write(1, ("\n" + json.dumps(line) + "\n").encode())
+        except OSError:
+            pass
     os._exit(0)
 
 

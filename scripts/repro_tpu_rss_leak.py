@@ -25,21 +25,19 @@ from __future__ import annotations
 
 import argparse
 import gc
+import os
 import sys
 
 sys.path.insert(0, ".")
 
 import numpy as np
 
+from vqa_tpu.serving.supervisor import rss_mb as _rss_mb_of
 from vqa_tpu.utils.cache import enable_compilation_cache
 
 
 def rss_mb() -> float:
-    with open("/proc/self/status") as f:
-        for line in f:
-            if line.startswith("VmRSS"):
-                return int(line.split()[1]) / 1024.0
-    return 0.0
+    return _rss_mb_of(os.getpid())
 
 
 def main():

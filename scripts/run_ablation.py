@@ -73,9 +73,15 @@ def mean_ci95(values):
     if n < 2:
         return m, 0.0
     var = sum((v - m) ** 2 for v in values) / (n - 1)
-    # two-sided 97.5% t quantiles for tiny n (n-1 df)
+    # two-sided 97.5% t quantiles (n-1 df); the z fallback 1.96 would
+    # understate the half-width by ~15% already at df=8, so carry the
+    # table far past any plausible seed count and stay slightly
+    # conservative beyond it (t_inf = 1.960)
     t = {1: 12.706, 2: 4.303, 3: 3.182, 4: 2.776, 5: 2.571,
-         6: 2.447, 7: 2.365}.get(n - 1, 1.96)
+         6: 2.447, 7: 2.365, 8: 2.306, 9: 2.262, 10: 2.228,
+         11: 2.201, 12: 2.179, 13: 2.160, 14: 2.145, 15: 2.131,
+         16: 2.120, 17: 2.110, 18: 2.101, 19: 2.093, 20: 2.086,
+         }.get(n - 1, 2.06 if n - 1 <= 30 else 2.00)
     return m, t * (var ** 0.5) / (n ** 0.5)
 
 

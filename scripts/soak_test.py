@@ -45,6 +45,7 @@ from PIL import Image
 
 from vqa_tpu.serving.engine import VQAInference
 from vqa_tpu.serving.server import VQAServer
+from vqa_tpu.serving.supervisor import rss_mb
 from vqa_tpu.utils.cache import enable_compilation_cache
 from vqa_tpu.utils.config import InferenceConfig
 
@@ -57,12 +58,8 @@ def _tree_rss_mb(root_pid: int) -> float:
     total, stack = 0.0, [root_pid]
     while stack:
         pid = stack.pop()
+        total += rss_mb(pid)
         try:
-            with open(f"/proc/{pid}/status") as f:
-                for line in f:
-                    if line.startswith("VmRSS"):
-                        total += int(line.split()[1]) / 1024.0
-                        break
             with open(f"/proc/{pid}/task/{pid}/children") as f:
                 stack.extend(int(c) for c in f.read().split())
         except (OSError, ValueError):
@@ -71,11 +68,7 @@ def _tree_rss_mb(root_pid: int) -> float:
 
 
 def _rss_mb() -> float:
-    with open("/proc/self/status") as f:
-        for line in f:
-            if line.startswith("VmRSS"):
-                return int(line.split()[1]) / 1024.0
-    return 0.0
+    return rss_mb(os.getpid())
 
 
 def _image_bytes(seed: int, size: int, fmt: str = "JPEG") -> bytes:
@@ -281,10 +274,26 @@ class _Supervisor:
                     self._ready.set()
 
     def wait_port(self, timeout: float) -> int:
-        if not self._ready.wait(timeout):
-            self.stop()
-            raise RuntimeError("supervisor worker never became ready")
-        return self.port
+        # Poll in slices: a supervisor that gave up (--max-restarts on
+        # wedged warmups, rc=1) must fail the soak immediately with the
+        # real cause, not block here for the full warmup timeout and then
+        # raise a generic "never became ready".
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if self._ready.wait(min(1.0, max(0.0, deadline
+                                             - time.monotonic()))):
+                return self.port
+            rc = self.proc.poll()
+            if rc is not None:
+                # the pump may still be draining a final giving_up event
+                if self._ready.wait(1.0):
+                    return self.port
+                raise RuntimeError(
+                    f"supervisor exited rc={rc} before its worker became "
+                    f"ready (last events: {self.events[-3:]})"
+                )
+        self.stop()
+        raise RuntimeError("supervisor worker never became ready")
 
     def recycle_events(self):
         return [e for e in self.events
@@ -472,21 +481,31 @@ def main():
         # serving side is out-of-process: batcher stats come over HTTP
         # (current worker only — recycled workers took theirs with them),
         # backend from the worker's own report
+        # independent fetches: a worker recycling between the two calls
+        # must not discard the metrics already in hand (or vice versa)
         try:
             out["server_metrics"] = _http_json(port, "/metrics")
-            out["backend"] = _http_json(port, "/model-info").get("device")
         except Exception as e:  # worker mid-recycle at shutdown
             out["server_metrics"] = {"error": type(e).__name__}
+        try:
+            out["backend"] = _http_json(port, "/model-info").get("device")
+        except Exception as e:
+            out["backend"] = f"error:{type(e).__name__}"
         out["rss_scope"] = "supervisor process tree"
         out["supervisor_recycle_mb"] = args.supervisor_recycle_mb
         out["recycles"] = sup.recycle_events()
         out["recycles_done"] = sum(
             1 for e in out["recycles"] if e["supervisor"] == "recycle_done")
-        if out["recycles_done"] >= 1:
-            # The last-third statistic assumes a monotonic signal; under
-            # recycling, RSS is a SAWTOOTH and run-end phase decides what a
-            # last-third window sees. The leak-health facts under the
-            # mitigation are instead: (a) tree RSS stays BOUNDED — the old
+        if out["recycles"]:
+            # The last-third statistic assumes a monotonic signal; the
+            # moment ANY second worker entered the tree (recycle_start,
+            # a still-warming replacement at run end, a worker_died
+            # respawn) the tree RSS is a SAWTOOTH and run-end phase
+            # decides what a last-third window sees — a recycle still in
+            # flight when the final request lands would fail a healthy
+            # run on the replacement's import baseline. The leak-health
+            # facts under the mitigation are instead: (a) tree RSS stays
+            # BOUNDED — the old
             # worker can overshoot the configured ceiling while the
             # replacement warms, and the replacement adds its own baseline,
             # so 2×ceiling + 1 GB is a generous static bound an unmitigated
@@ -516,7 +535,8 @@ def main():
             )
             out["plateau_definition"] = (
                 "sawtooth: bounded max + stationary post-recycle troughs "
-                "(the monotonic last-third statistic is reported above "
+                "(scored whenever any worker-replacing event occurred; "
+                "the monotonic last-third statistic is reported above "
                 "but not scored)"
             )
             rss_plateaued = rss_bounded and (

@@ -36,8 +36,8 @@ def _reset_state(monkeypatch):
                         lambda code: (_ for _ in ()).throw(SystemExit(code)))
 
 
-def _last_json_line(capsys):
-    out = capsys.readouterr().out.strip().splitlines()
+def _last_json_line(cap):
+    out = [ln for ln in cap.readouterr().out.strip().splitlines() if ln]
     assert out, "nothing printed"
     return json.loads(out[-1])
 
@@ -50,34 +50,60 @@ def test_emit_prints_parseable_line(capsys):
     assert bench._LAST_LINE["value"] == 1.0
 
 
-def test_sigterm_flushes_best_so_far(capsys):
+# The flush tests capture at the FD level (capfd): the handler writes the
+# raw fd via os.write, not sys.stdout — print()/flush() on the buffered
+# writer can raise "reentrant call" if the signal lands mid-print.
+
+def test_sigterm_flushes_best_so_far(capfd):
     bench.emit({"metric": "pairs_per_sec_per_chip", "value": 123.0,
                 "unit": "pairs/s", "vs_baseline": 8.3})
     with pytest.raises(SystemExit) as e:
         bench._flush_and_exit(signal.SIGTERM, None)
     assert e.value.code == 0  # clean exit so the driver sees rc=0
-    line = _last_json_line(capsys)
+    line = _last_json_line(capfd)
     assert line["value"] == 123.0
     assert line["partial"] is True
     assert line["killed_by"] == "SIGTERM"
 
 
-def test_kill_before_any_batch_still_yields_a_line(capsys):
+def test_kill_before_any_batch_still_yields_a_line(capfd):
     with pytest.raises(SystemExit):
         bench._flush_and_exit(signal.SIGALRM, None)
-    line = _last_json_line(capsys)
+    line = _last_json_line(capfd)
     assert line["metric"] == "pairs_per_sec_per_chip"
     assert line["value"] == 0.0
     assert "error" in line and line["killed_by"] == "SIGALRM"
 
 
-def test_no_duplicate_line_after_final_emit(capsys):
+def test_no_duplicate_line_after_final_emit(capfd):
     bench.emit({"metric": "pairs_per_sec_per_chip", "value": 9.0,
                 "unit": "pairs/s", "vs_baseline": 0.6}, final=True)
-    capsys.readouterr()
+    capfd.readouterr()
     with pytest.raises(SystemExit):
         bench._flush_and_exit(signal.SIGTERM, None)
-    assert capsys.readouterr().out.strip() == ""  # final line already out
+    assert capfd.readouterr().out.strip() == ""  # final line already out
+
+
+def test_flush_survives_reentrant_stdout(capfd, monkeypatch):
+    """If the signal lands while the main thread holds the stdout
+    BufferedWriter lock, any print()/flush() in the handler raises
+    'reentrant call' and the best-so-far line would be lost — the
+    handler must bypass sys.stdout entirely."""
+    bench.emit({"metric": "pairs_per_sec_per_chip", "value": 7.0,
+                "unit": "pairs/s", "vs_baseline": 0.5})
+    capfd.readouterr()
+
+    class _Reentrant:
+        def write(self, s):
+            raise RuntimeError("reentrant call inside <_io.BufferedWriter>")
+        flush = write
+
+    monkeypatch.setattr(bench.sys, "stdout", _Reentrant())
+    with pytest.raises(SystemExit) as e:
+        bench._flush_and_exit(signal.SIGTERM, None)
+    assert e.value.code == 0
+    line = _last_json_line(capfd)
+    assert line["value"] == 7.0 and line["killed_by"] == "SIGTERM"
 
 
 def test_time_left_tracks_deadline(monkeypatch):

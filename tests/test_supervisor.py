@@ -206,6 +206,72 @@ def test_recycle_period_warning_when_warmup_outpaces_serving():
     assert "recycle_period_warning" in kinds, kinds
 
 
+def test_persistently_wedged_recycle_disables_recycling(tmp_path):
+    """Failed replacement warmups must spend the --max-restarts budget:
+    a persistently wedged warmup (lost axon RPC) used to respawn a fresh
+    candidate forever — one new PJRT client per attempt alongside the
+    live worker — with no terminal event. Exhausting the budget must NOT
+    take the port down (the old worker still serves); the supervisor
+    turns recycling off and says so via a recycle_disabled event."""
+    import json
+    import signal
+    import subprocess
+    import time
+
+    flag = tmp_path / "first_spawn_done"
+    # first spawn: ready instantly (trips --recycle-rss-mb 1 at the next
+    # RSS sample); every later spawn: warms forever
+    fake = (
+        "import os, sys, time; f = sys.argv[1]\n"
+        "if not os.path.exists(f):\n"
+        "    open(f, 'w').close()\n"
+        f"    print({READY_MARKER + 'http://x:1'!r}, flush=True)\n"
+        "else:\n"
+        "    print('warming forever', flush=True)\n"
+        "time.sleep(300)\n"
+    )
+    cmd = f"{sys.executable} -u -c \"{fake}\" {flag}"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "vqa_tpu.serving.supervisor",
+         "--port", "0", "--ready-timeout", "3", "--check-interval", "0.2",
+         "--recycle-rss-mb", "1", "--max-restarts", "1",
+         "--worker-cmd", cmd],
+        stdout=subprocess.PIPE, text=True)
+    assert proc.stdout is not None
+    events = []
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        line = proc.stdout.readline()
+        if not line.startswith("{"):
+            continue
+        events.append(json.loads(line))
+        if events[-1]["supervisor"] == "recycle_disabled":
+            break
+    kinds = [e["supervisor"] for e in events]
+    assert "recycle_disabled" in kinds, kinds
+    # budget: max-restarts 1 → exactly 2 failed attempts, then disabled
+    assert kinds.count("recycle_ready_timeout") == 2, kinds
+    # the live worker keeps serving: give the loop a few check intervals,
+    # then a clean SIGTERM exit (rc 0, not giving_up)
+    time.sleep(1.5)
+    proc.send_signal(signal.SIGTERM)
+    rc = proc.wait(timeout=45)
+    rest = proc.stdout.read()
+    for line in rest.splitlines():
+        if line.startswith("{"):
+            events.append(json.loads(line))
+    kinds = [e["supervisor"] for e in events]
+    assert rc == 0, kinds
+    assert "giving_up" not in kinds, kinds
+    # no recycle attempt after the disable event
+    assert "recycle_start" not in kinds[kinds.index("recycle_disabled"):], kinds
+    # nothing orphaned
+    time.sleep(1.0)
+    for e in events:
+        if e["supervisor"] == "spawn":
+            assert rss_mb(e["pid"]) == 0.0, f"orphaned child {e['pid']}"
+
+
 def test_crash_looping_worker_fails_fast():
     """A worker that dies instantly (bad flags, import error) must burn a
     restart immediately, not --ready-timeout per try: with a 300 s

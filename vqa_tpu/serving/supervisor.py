@@ -240,6 +240,7 @@ def main(argv=None) -> int:
         return None
 
     recycles = 0
+    recycling_enabled = True
     rc = 0
     try:
         worker = spawn_until_ready()
@@ -268,7 +269,7 @@ def main(argv=None) -> int:
                 continue
 
             r = rss_mb(worker.pid)
-            if r > args.recycle_rss_mb:
+            if recycling_enabled and r > args.recycle_rss_mb:
                 recycles += 1
                 serve_s = time.monotonic() - served_since
                 _event("recycle_start", t0, n=recycles, old_pid=worker.pid,
@@ -281,9 +282,26 @@ def main(argv=None) -> int:
                     # the port down; on stop, the finally sweep reaps both
                     if stop.is_set():
                         break
-                    _event("recycle_ready_timeout", t0, pid=replacement.pid)
+                    # a failed replacement warmup spends the same budget as
+                    # a crash (--max-restarts): without this, a persistently
+                    # wedged warmup (the lost-RPC mode documented above)
+                    # respawns forever — one fresh PJRT client per attempt
+                    # alongside the live worker — with no terminal event.
+                    # Exhausting the budget must NOT take the port down
+                    # (the old worker still serves), so instead of exiting
+                    # we stop attempting recycles and tell the operator.
+                    restarts += 1
+                    _event("recycle_ready_timeout", t0, pid=replacement.pid,
+                           restarts=restarts)
                     reap(replacement, drain_grace=5.0)
                     recycles -= 1
+                    if restarts > args.max_restarts:
+                        recycling_enabled = False
+                        _event("recycle_disabled", t0, restarts=restarts,
+                               hint="replacement warmups exhausted "
+                                    "--max-restarts; serving continues on "
+                                    "the live worker with recycling OFF — "
+                                    "RSS is now unbounded")
                     continue
                 warmup_s = time.monotonic() - warmup_t0
                 old = worker
